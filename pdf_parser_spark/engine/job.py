@@ -1,0 +1,98 @@
+"""The extraction job: pages DataFrame -> extracted table (+ lineage).
+
+All per-document compute runs inside ``mapInPandas`` (Arrow batches,
+iterator form — one Python worker per task, batches streamed through).
+No per-row Python UDFs, no RDDs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..extractor import extract_document
+from . import partitioning
+
+EXTRACTED_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("part_id", IntegerType()),
+    StructField("doc_type", StringType()),
+    StructField("text", StringType()),
+    StructField("body_text", StringType()),
+    StructField("n_pages", IntegerType()),
+    StructField("n_blocks", IntegerType()),
+    StructField("n_tables", IntegerType()),
+    StructField("bytes_in", LongType()),
+    StructField("ok", BooleanType()),
+    StructField("error_kind", StringType()),
+    StructField("error_message", StringType()),
+    StructField("title", StringType()),
+])
+
+LINEAGE_COLS = ["part_id", "doc_count", "failure_count", "bytes_in",
+                "pages_out", "blocks_out", "tables_out"]
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel. Runs on executors; must stay importable from
+    the shipped package (spark-submit --py-files)."""
+    for pdf in batches:
+        rows = []
+        part_ids = (pdf["part_id"] if "part_id" in pdf.columns
+                    else pd.Series([-1] * len(pdf)))
+        for url, blob, part_id in zip(pdf["url"], pdf["html"], part_ids):
+            data = bytes(blob) if blob is not None else None
+            r = extract_document(url, data)
+            rows.append({
+                "url": r.url,
+                "part_id": int(part_id),
+                "doc_type": r.doc_type,
+                "text": r.text,
+                "body_text": r.body_text,
+                "n_pages": r.n_pages,
+                "n_blocks": r.n_blocks,
+                "n_tables": r.n_tables,
+                "bytes_in": len(data) if data is not None else 0,
+                "ok": r.error_kind is None,
+                "error_kind": r.error_kind,
+                "error_message": r.error_message,
+                "title": r.metadata.get("title"),
+            })
+        yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA])
+
+
+def run_extract(pages: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
+
+    Plan shape: scan -> project(url, html) + part_id -> single shuffle on
+    part_id -> mapInPandas. Column pruning drops warc_ts/text/lang before
+    the shuffle so only the bytes that feed the parser move."""
+    if n_partitions is None:
+        n_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
+    keyed = partitioning.with_partition_key(
+        pages.select("url", "html"), n_partitions)
+    shuffled = partitioning.repartition_by_key(keyed, n_partitions)
+    return shuffled.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def lineage(extracted: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics rows (north rule: doc counts,
+    parse-failure tallies, bytes). Pure relational aggregation — Catalyst
+    plans a partial+final agg, no extra Python."""
+    return (
+        extracted.groupBy("part_id")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("failure_count"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("n_pages").alias("pages_out"),
+            F.sum("n_blocks").alias("blocks_out"),
+            F.sum("n_tables").alias("tables_out"),
+        )
+    )

@@ -1,0 +1,162 @@
+"""Main-content extraction from HTML bytes.
+
+Stdlib ``html.parser`` DOM walk (lxml is unavailable by design —
+SURVEY.md §7.0) with boilerplate stripping:
+
+* hard-drop subtrees: script/style/nav/footer/header/aside/form/...
+* per-block link-density filter: a text block survives iff
+  ``anchor_chars / chars <= max_link_density``, with a minimum-length
+  gate for linky short blocks (config.HTML).
+* headings survive independently of length when link-free.
+
+Output is deterministic: kept blocks in document order, whitespace
+inside a block collapsed to single spaces, blocks joined by '\\n'.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from ..config import HTML
+
+_WS_RE = re.compile(r"\s+")
+
+_VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base",
+         "col", "embed", "source", "track", "wbr"}
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+@dataclass
+class _Node:
+    tag: str                       # "" for text nodes
+    text: str = ""
+    children: list["_Node"] = field(default_factory=list)
+    parent: "_Node | None" = None
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant DOM builder: unclosed tags close implicitly; stray close
+    tags are ignored (html-malformed fixture must not crash)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node(tag="#root")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag=tag, parent=self.stack[-1])
+        node.attrs = dict(attrs)  # type: ignore[attr-defined]
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = _Node(tag=tag, parent=self.stack[-1])
+        node.attrs = dict(attrs)  # type: ignore[attr-defined]
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        # close the nearest matching open tag; ignore strays
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(
+                _Node(tag="", text=data, parent=self.stack[-1]))
+
+
+def _texts(node: _Node, in_anchor: bool,
+           out: list[tuple[str, bool]]) -> None:
+    """Collect (text, is_link_text) pairs below ``node``, skipping
+    dropped subtrees and nested block elements (those form their own
+    candidate blocks)."""
+    for ch in node.children:
+        if ch.tag == "":
+            out.append((ch.text, in_anchor))
+        elif ch.tag in HTML.drop_tags:
+            continue
+        elif ch.tag in HTML.block_tags:
+            continue  # handled as its own block
+        else:
+            _texts(ch, in_anchor or ch.tag == "a", out)
+
+
+def _walk_blocks(node: _Node, out: list[tuple[str, str, float]]) -> None:
+    """Emit (tag, text, link_density) for each block element that has
+    direct inline content; recurse into nested blocks in document order."""
+    for ch in node.children:
+        if ch.tag in HTML.drop_tags:
+            continue
+        if ch.tag == "" or ch.tag not in HTML.block_tags:
+            if ch.tag:
+                _walk_blocks(ch, out)
+            continue
+        pieces: list[tuple[str, bool]] = []
+        _texts(ch, False, pieces)
+        raw = "".join(p for p, _ in pieces)
+        text = _WS_RE.sub(" ", raw).strip()
+        if text:
+            total = sum(len(_WS_RE.sub(" ", p).strip()) for p, _ in pieces)
+            linky = sum(len(_WS_RE.sub(" ", p).strip())
+                        for p, a in pieces if a)
+            density = linky / total if total else 0.0
+            out.append((ch.tag, text, density))
+        _walk_blocks(ch, out)
+
+
+def extract_html(data: bytes) -> dict:
+    """Extract main content. Returns {text, title, lang, n_blocks,
+    dropped_blocks}."""
+    html_str = data.decode("utf-8", "replace")
+    builder = _TreeBuilder()
+    builder.feed(html_str)
+    builder.close()
+    root = builder.root
+
+    title = ""
+    lang = ""
+
+    def _find_meta(n: _Node) -> None:
+        nonlocal title, lang
+        for ch in n.children:
+            if ch.tag == "title" and not title:
+                title = _WS_RE.sub(
+                    " ", "".join(c.text for c in ch.children if c.tag == "")
+                ).strip()
+            if ch.tag == "html":
+                lang = getattr(ch, "attrs", {}).get("lang", "") or lang
+            if ch.tag:
+                _find_meta(ch)
+
+    _find_meta(root)
+
+    blocks: list[tuple[str, str, float]] = []
+    _walk_blocks(root, blocks)
+
+    kept: list[str] = []
+    dropped = 0
+    for tag, text, density in blocks:
+        is_heading = tag in _HEADINGS
+        long_enough = len(text) >= HTML.min_block_chars
+        if density > HTML.max_link_density:
+            dropped += 1
+            continue
+        # short blocks survive only when entirely link-free (headings,
+        # trailing sentence fragments); short linky blocks are menus
+        if not (long_enough or is_heading or density == 0.0):
+            dropped += 1
+            continue
+        kept.append(text)
+
+    return {
+        "text": "\n".join(kept),
+        "title": title,
+        "lang": lang,
+        "n_blocks": len(kept),
+        "dropped_blocks": dropped,
+    }

@@ -1,0 +1,229 @@
+"""Ruled-line table detection (T1-T3, A7, P9).
+
+Re-implements the reference's pdfplumber "lines"-strategy lattice detection
+(reference tables/detector.py:119-163 configured vertical/horizontal
+strategy="lines", snap_tolerance=3) from scratch over the tokenizer's path
+segments: snap & cluster rule coordinates, build the cell lattice, fill
+cells with span text, then convert exactly like the reference
+(detector.py:183-296): y-FLIP to bottom-left frame, uniform-grid cell
+bboxes, header detection (detector.py:298-350) and validation
+(detector.py:352-379).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..config import TABLES
+from .ir import LEFT, BBox, CellIR, SpanIR, TableIR
+from ..pdf.tokenizer import Segment
+
+_NUM_RE = re.compile(r"\d+\.?\d*")  # reference detector.py:337
+
+
+def detect_tables(segments: list[Segment], spans: list[SpanIR],
+                  page_height: float) -> list[TableIR]:
+    """Full T1->T3 pipeline. Returns validated tables with bboxes in the
+    FLIPPED (bottom-left) frame, exactly like the reference."""
+    lattices = _find_lattices(segments)
+    tables: list[TableIR] = []
+    for xs, ys in lattices:
+        data = _extract_data(xs, ys, spans)
+        t = _convert(data, xs, ys, page_height)
+        if t and _validate(t):
+            tables.append(t)
+    return tables
+
+
+def _snap(values: list[float], tol: float) -> list[float]:
+    """Cluster 1-D coords within ``tol``; return sorted cluster means."""
+    if not values:
+        return []
+    values = sorted(values)
+    out: list[list[float]] = [[values[0]]]
+    for v in values[1:]:
+        if v - out[-1][-1] <= tol:
+            out[-1].append(v)
+        else:
+            out.append([v])
+    return [sum(c) / len(c) for c in out]
+
+
+def _find_lattices(segments: list[Segment]) -> list[tuple[list[float], list[float]]]:
+    """Group rule segments into connected components and emit the snapped
+    (xs, ys) grid coordinates of each component with >= 2x2 rules."""
+    tol = TABLES.snap_tolerance
+    verts = [s for s in segments if abs(s.x0 - s.x1) <= tol / 2]
+    horiz = [s for s in segments if abs(s.y0 - s.y1) <= tol / 2]
+    if not verts or not horiz:
+        return []
+
+    segs = verts + horiz
+    n = len(segs)
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def touch(a: Segment, b: Segment) -> bool:
+        ax0, ax1 = sorted((a.x0, a.x1))
+        ay0, ay1 = sorted((a.y0, a.y1))
+        bx0, bx1 = sorted((b.x0, b.x1))
+        by0, by1 = sorted((b.y0, b.y1))
+        return not (ax1 + tol < bx0 or bx1 + tol < ax0
+                    or ay1 + tol < by0 or by1 + tol < ay0)
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if touch(segs[i], segs[j]):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+
+    comps: dict[int, tuple[list[Segment], list[Segment]]] = {}
+    for i, s in enumerate(segs):
+        r = find(i)
+        vs, hs = comps.setdefault(r, ([], []))
+        (vs if i < len(verts) else hs).append(s)
+
+    lattices: list[tuple[list[float], list[float]]] = []
+    for vs, hs in comps.values():
+        xs = _snap([(s.x0 + s.x1) / 2 for s in vs], tol)
+        ys = _snap([(s.y0 + s.y1) / 2 for s in hs], tol)
+        if len(xs) >= 2 and len(ys) >= 2:
+            lattices.append((xs, ys))
+    lattices.sort(key=lambda g: (g[1][0], g[0][0]))  # top-to-bottom
+    return lattices
+
+
+def _extract_data(xs: list[float], ys: list[float],
+                  spans: list[SpanIR]) -> list[list[str | None]]:
+    """pdfplumber ``table.extract()`` equivalent: matrix of cell texts.
+    Cell text = contained span texts (by center point) sorted (y, x),
+    space-joined; empty cell -> '' (None only for spanless grids)."""
+    nrows, ncols = len(ys) - 1, len(xs) - 1
+    buckets: list[list[list[SpanIR]]] = [
+        [[] for _ in range(ncols)] for _ in range(nrows)
+    ]
+    for s in spans:
+        cx = (s.bbox.x0 + s.bbox.x1) / 2
+        cy = (s.bbox.y0 + s.bbox.y1) / 2
+        if not (xs[0] <= cx <= xs[-1] and ys[0] <= cy <= ys[-1]):
+            continue
+        col = row = None
+        for j in range(ncols):
+            if xs[j] <= cx <= xs[j + 1]:
+                col = j
+                break
+        for i in range(nrows):
+            if ys[i] <= cy <= ys[i + 1]:
+                row = i
+                break
+        if row is not None and col is not None:
+            buckets[row][col].append(s)
+
+    data: list[list[str | None]] = []
+    for i in range(nrows):
+        row: list[str | None] = []
+        for j in range(ncols):
+            cell = sorted(buckets[i][j], key=lambda s: (s.bbox.y0, s.bbox.x0))
+            row.append(" ".join(s.text for s in cell) if cell else "")
+        data.append(row)
+    return data
+
+
+def _convert(data: list[list[str | None]], xs: list[float],
+             ys: list[float], page_height: float) -> TableIR | None:
+    """Reference detector.py:183-296: min_rows gate, y-flip, uniform-grid
+    cells, header detection."""
+    if not data or len(data) < TABLES.min_rows:
+        return None
+    # top-left-frame bbox of the lattice, flipped like detector.py:208-214
+    bbox = BBox(
+        x0=xs[0],
+        y0=page_height - ys[-1],
+        x1=xs[-1],
+        y1=page_height - ys[0],
+    )
+    cells = _cells_from_data(data, bbox)
+    if not cells:
+        return None
+    num_rows = len(data)
+    num_cols = max(len(r) for r in data)
+    if num_cols < TABLES.min_cols:
+        return None
+    return TableIR(
+        cells=cells,
+        bbox=bbox,
+        num_rows=num_rows,
+        num_cols=num_cols,
+        has_header=_detect_header(data),
+    )
+
+
+def _cells_from_data(data: list[list[str | None]],
+                     bbox: BBox) -> list[CellIR]:
+    """Reference detector.py:243-296: uniform cell grid computed top-down
+    in the FLIPPED frame; None -> ''; is_header = (row == 0)."""
+    num_rows = len(data)
+    num_cols = max(len(r) for r in data) if data else 0
+    if not num_rows or not num_cols:
+        return []
+    cw = bbox.width / num_cols
+    ch = bbox.height / num_rows
+    cells: list[CellIR] = []
+    for ri, row in enumerate(data):
+        for ci, text in enumerate(row):
+            x0 = bbox.x0 + ci * cw
+            y1 = bbox.y1 - ri * ch
+            cells.append(CellIR(
+                text=str(text or "").strip(),
+                bbox=BBox(x0, y1 - ch, x0 + cw, y1),
+                row=ri,
+                col=ci,
+                is_header=(ri == 0),
+                alignment=LEFT,
+            ))
+    return cells
+
+
+def _detect_header(data: list[list[str | None]]) -> bool:
+    """A7 (reference detector.py:298-350): all-caps first row, or 0.7x
+    shorter average, or numberless-header-over-numeric-data."""
+    if len(data) < 2:
+        return False
+    first = data[0]
+    if not first:
+        return False
+    first_text = " ".join(str(c or "") for c in first)
+    if first_text.isupper() and len(first_text) > 3:
+        return True
+    first_avg = sum(len(str(c or "")) for c in first) / len(first)
+    others = [sum(len(str(c or "")) for c in row) / len(row)
+              for row in data[1:] if row]
+    if others:
+        if first_avg < (sum(others) / len(others)) * 0.7:
+            return True
+    has_numbers = any(_NUM_RE.search(str(c or "")) for c in first if c)
+    data_numbers = any(
+        any(_NUM_RE.search(str(c or "")) for c in row if c)
+        for row in data[1:]
+    )
+    return (not has_numbers) and data_numbers
+
+
+def _validate(t: TableIR) -> bool:
+    """P9 (reference detector.py:352-379)."""
+    if t.num_rows < TABLES.min_rows or t.num_cols < TABLES.min_cols:
+        return False
+    if t.bbox.width < TABLES.min_cell_w * 2:
+        return False
+    if t.bbox.height < TABLES.min_cell_h * 2:
+        return False
+    non_empty = sum(1 for c in t.cells if c.text.strip())
+    if t.cells and non_empty / len(t.cells) < TABLES.min_fill_frac:
+        return False
+    return True

@@ -1,0 +1,583 @@
+"""From-scratch PDF byte-stream tokenizer.
+
+Replaces the reference's PyMuPDF ingestion (reference core/page.py:472-531
+walks ``page.get_text("dict")``; core/document.py:57-162 opens via fitz).
+Here the whole chain is pure Python + numpy so it can run inside Arrow
+pandas UDFs on executors:
+
+  bytes -> object graph (xref or full-scan fallback) -> page tree ->
+  FlateDecode content streams -> text/path operator interpreter ->
+  spans (top-left-origin bboxes, PyMuPDF convention, SURVEY.md §1.4)
+  + line segments (for ruled-table lattice detection).
+
+Output coordinate convention matches what the reference's layout stage
+consumed from PyMuPDF: origin top-left, y increases DOWNWARD
+(reference core/page.py:200). Path segments are likewise emitted top-left
+(pdfplumber convention) so the table detector can flip them exactly like
+the reference does (tables/detector.py:208-214).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass, field
+
+from . import fonts
+
+
+class PdfError(Exception):
+    """Parse failure for one document (maps to the reference's
+    PDFLoadError/PDFPageError hierarchy, core/exceptions.py:46-106).
+    Callers catch this per-document and emit an error struct column —
+    never a job abort."""
+
+
+@dataclass
+class Span:
+    text: str
+    x0: float
+    y0: float  # top (smaller = higher on page)
+    x1: float
+    y1: float  # bottom
+    font: str
+    size: float
+    bold: bool
+    italic: bool
+    color: tuple[int, int, int] = (0, 0, 0)
+
+
+@dataclass
+class Segment:
+    """A stroked line segment in top-left coords."""
+
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+
+
+@dataclass
+class PdfPage:
+    number: int  # 1-based, reference convention (models.py:339-346)
+    width: float
+    height: float
+    spans: list[Span] = field(default_factory=list)
+    segments: list[Segment] = field(default_factory=list)
+
+
+@dataclass
+class PdfFile:
+    pages: list[PdfPage]
+    metadata: dict[str, str]
+
+
+class Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Lexer:
+    """Minimal PDF object lexer over a bytes buffer."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.d = data
+        self.i = pos
+        self.n = len(data)
+
+    def _skip_ws(self) -> None:
+        d, n = self.d, self.n
+        while self.i < n:
+            c = d[self.i]
+            if c in _WS:
+                self.i += 1
+            elif c == 0x25:  # % comment
+                j = d.find(b"\n", self.i)
+                self.i = n if j < 0 else j + 1
+            else:
+                return
+
+    def parse(self):
+        """Parse one object starting at self.i."""
+        self._skip_ws()
+        if self.i >= self.n:
+            raise PdfError("unexpected EOF in object parse")
+        d, i = self.d, self.i
+        c = d[i]
+        if c == 0x2F:  # /Name
+            return self._name()
+        if c == 0x28:  # (string)
+            return self._string()
+        if c == 0x3C:  # << dict or <hex>
+            if d[i : i + 2] == b"<<":
+                return self._dict()
+            return self._hex_string()
+        if c == 0x5B:  # [array]
+            return self._array()
+        if d[i : i + 4] == b"true":
+            self.i += 4
+            return True
+        if d[i : i + 5] == b"false":
+            self.i += 5
+            return False
+        if d[i : i + 4] == b"null":
+            self.i += 4
+            return None
+        return self._number_or_ref()
+
+    def _name(self) -> str:
+        self.i += 1
+        j = self.i
+        d = self.d
+        out = bytearray()
+        while j < self.n and d[j] not in _WS and d[j] not in _DELIM:
+            if d[j] == 0x23 and j + 2 < self.n:  # #xx escape
+                out.append(int(d[j + 1 : j + 3], 16))
+                j += 3
+            else:
+                out.append(d[j])
+                j += 1
+        self.i = j
+        return out.decode("latin-1")
+
+    def _string(self) -> str:
+        d = self.d
+        i = self.i + 1
+        depth = 1
+        out = bytearray()
+        while i < self.n and depth:
+            c = d[i]
+            if c == 0x5C:  # backslash
+                i += 1
+                e = d[i]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9,
+                                0x62: 8, 0x66: 12}[e])
+                    i += 1
+                elif 0x30 <= e <= 0x37:  # octal
+                    k = i
+                    while k < i + 3 and k < self.n and 0x30 <= d[k] <= 0x37:
+                        k += 1
+                    out.append(int(d[i:k], 8) & 0xFF)
+                    i = k
+                elif e == 0x0A:
+                    i += 1  # line continuation
+                else:
+                    out.append(e)
+                    i += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                i += 1
+            elif c == 0x29:
+                depth -= 1
+                if depth:
+                    out.append(c)
+                i += 1
+            else:
+                out.append(c)
+                i += 1
+        self.i = i
+        return out.decode("latin-1")
+
+    def _hex_string(self) -> str:
+        j = self.d.find(b">", self.i)
+        if j < 0:
+            raise PdfError("unterminated hex string")
+        hx = re.sub(rb"\s", b"", self.d[self.i + 1 : j])
+        if len(hx) % 2:
+            hx += b"0"
+        self.i = j + 1
+        return bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+
+    def _dict(self) -> dict:
+        self.i += 2
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.d[self.i : self.i + 2] == b">>":
+                self.i += 2
+                return out
+            key = self.parse()
+            val = self.parse()
+            if isinstance(key, str):
+                out[key] = val
+
+    def _array(self) -> list:
+        self.i += 1
+        out: list = []
+        while True:
+            self._skip_ws()
+            if self.i < self.n and self.d[self.i] == 0x5D:
+                self.i += 1
+                return out
+            out.append(self.parse())
+
+    _NUM = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+    _REF = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+    def _number_or_ref(self):
+        m = self._REF.match(self.d, self.i)
+        if m:
+            self.i = m.end()
+            return Ref((int(m.group(1)), int(m.group(2))))
+        m = self._NUM.match(self.d, self.i)
+        if not m:
+            raise PdfError(f"bad token at offset {self.i}")
+        self.i = m.end()
+        tok = m.group(0)
+        return float(tok) if b"." in tok else int(tok)
+
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class _Doc:
+    """Parsed object store with lazy stream decoding."""
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise PdfError("empty bytes")
+        if b"%PDF-" not in data[:1024]:
+            raise PdfError("missing %PDF- header")
+        self.data = data
+        # Full-scan object index (robust to broken xref, like real-world
+        # repair parsers; also covers our writer's well-formed files).
+        self.objs: dict[int, int] = {}
+        for m in _OBJ_RE.finditer(data):
+            self.objs[int(m.group(1))] = m.end()
+        if not self.objs:
+            raise PdfError("no indirect objects found")
+        self.trailer = self._find_trailer()
+        self._cache: dict[int, object] = {}
+
+    def _find_trailer(self) -> dict:
+        i = self.data.rfind(b"trailer")
+        while i >= 0:
+            j = self.data.find(b"<<", i)
+            if j >= 0:
+                try:
+                    return _Lexer(self.data, j).parse()  # type: ignore[return-value]
+                except Exception:
+                    pass
+            i = self.data.rfind(b"trailer", 0, i)
+        return {}
+
+    def obj(self, ref):
+        """Resolve an object (follows one level of indirection)."""
+        if isinstance(ref, Ref):
+            num = ref[0]
+            if num in self._cache:
+                return self._cache[num]
+            pos = self.objs.get(num)
+            if pos is None:
+                return None
+            val = _Lexer(self.data, pos).parse()
+            self._cache[num] = val
+            return val
+        return ref
+
+    def stream(self, ref) -> bytes:
+        """Decoded stream bytes of an indirect stream object."""
+        if not isinstance(ref, Ref):
+            raise PdfError("stream target must be an indirect ref")
+        pos = self.objs.get(ref[0])
+        if pos is None:
+            raise PdfError(f"missing stream object {ref[0]}")
+        lex = _Lexer(self.data, pos)
+        d = lex.parse()
+        if not isinstance(d, dict):
+            raise PdfError("stream object lacks a dict")
+        lex._skip_ws()
+        if self.data[lex.i : lex.i + 6] != b"stream":
+            raise PdfError("expected 'stream' keyword")
+        i = lex.i + 6
+        if self.data[i : i + 2] == b"\r\n":
+            i += 2
+        elif self.data[i : i + 1] in (b"\n", b"\r"):
+            i += 1
+        length = self.obj(d.get("Length"))
+        if isinstance(length, (int, float)):
+            raw = self.data[i : i + int(length)]
+        else:
+            j = self.data.find(b"endstream", i)
+            if j < 0:
+                raise PdfError("unterminated stream")
+            raw = self.data[i:j].rstrip(b"\r\n")
+        filt = self.obj(d.get("Filter"))
+        filters = [filt] if isinstance(filt, str) else (filt or [])
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise PdfError(f"FlateDecode failed: {e}") from e
+            elif f is None:
+                pass
+            else:
+                raise PdfError(f"unsupported filter {f!r}")
+        return raw
+
+
+# -- content-stream interpretation -------------------------------------------
+
+_CS_TOKEN = re.compile(
+    rb"""\((?:[^()\\]|\\.)*\)          # literal string (1-level nesting below)
+      |  <[0-9A-Fa-f\s]*>              # hex string
+      |  /[^\s()<>\[\]{}/%]*           # name
+      |  [+-]?(?:\d+\.?\d*|\.\d+)      # number
+      |  \[ | \]
+      |  [A-Za-z'"*]+                  # operator
+    """,
+    re.VERBOSE,
+)
+
+
+def _cs_tokens(data: bytes):
+    """Tokenize a content stream. Nested-paren strings are rare in our
+    subset; fall back to the object lexer for those."""
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS:
+            i += 1
+            continue
+        if c == 0x25:  # comment
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:
+            lex = _Lexer(data, i)
+            s = lex._string()
+            yield ("str", s)
+            i = lex.i
+            continue
+        m = _CS_TOKEN.match(data, i)
+        if not m:
+            i += 1  # skip junk byte (degrade, don't die: reference E3)
+            continue
+        tok = m.group(0)
+        i = m.end()
+        if tok[:1] == b"/":
+            yield ("name", tok[1:].decode("latin-1"))
+        elif tok[:1] == b"<":
+            hx = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+        elif tok in (b"[", b"]"):
+            yield ("arr", tok)
+        elif tok[:1] in b"+-.0123456789":
+            yield ("num", float(tok))
+        else:
+            yield ("op", tok.decode("latin-1"))
+
+
+def _interpret(content: bytes, page: PdfPage,
+               font_map: dict[str, str]) -> None:
+    """Execute text/path operators, appending spans and segments to
+    ``page``. Coordinates arrive in PDF space (bottom-left origin) and are
+    emitted top-left (SURVEY.md §1.4)."""
+    H = page.height
+    # text state
+    font_id = next(iter(font_map), "F1")
+    size = 12.0
+    tx = ty = 0.0           # current text position (PDF coords)
+    lx = ly = 0.0           # line start
+    leading = 0.0
+    tc = tw = 0.0
+    stack: list = []        # operand stack
+    in_array: list | None = None
+    # path state
+    cx = cy = 0.0
+    subpath: list[Segment] = []
+    pending: list[Segment] = []
+
+    def show(s: str, at_x: float, at_y: float) -> float:
+        base = font_map.get(font_id, "Helvetica")
+        w = fonts.text_width(s, base, size, tc, tw)
+        if s:
+            _, asc, desc = fonts.metrics(base)
+            page.spans.append(Span(
+                text=s,
+                x0=at_x,
+                y0=H - (at_y + asc * size),
+                x1=at_x + w,
+                y1=H - (at_y + desc * size),
+                font=base,
+                size=size,
+                bold=fonts.is_bold(base),
+                italic=fonts.is_italic(base),
+            ))
+        return w
+
+    def seg(x0: float, y0: float, x1: float, y1: float) -> None:
+        subpath.append(Segment(x0, H - y0, x1, H - y1))
+
+    for kind, val in _cs_tokens(content):
+        if in_array is not None:
+            if kind == "arr" and val == b"]":
+                arr, in_array = in_array, None
+                stack.append(arr)
+            else:
+                in_array.append((kind, val))
+            continue
+        if kind == "arr" and val == b"[":
+            in_array = []
+            continue
+        if kind != "op":
+            stack.append((kind, val))
+            continue
+
+        op = val
+        try:
+            if op == "Tf" and len(stack) >= 2:
+                size = float(stack[-1][1])
+                font_id = stack[-2][1]
+            elif op == "Td" and len(stack) >= 2:
+                lx += float(stack[-2][1])
+                ly += float(stack[-1][1])
+                tx, ty = lx, ly
+            elif op == "TD" and len(stack) >= 2:
+                leading = -float(stack[-1][1])
+                lx += float(stack[-2][1])
+                ly += float(stack[-1][1])
+                tx, ty = lx, ly
+            elif op == "Tm" and len(stack) >= 6:
+                lx = float(stack[-2][1])
+                ly = float(stack[-1][1])
+                tx, ty = lx, ly
+            elif op == "T*":
+                ly -= leading
+                lx = lx
+                tx, ty = lx, ly
+            elif op == "TL" and stack:
+                leading = float(stack[-1][1])
+            elif op == "Tc" and stack:
+                tc = float(stack[-1][1])
+            elif op == "Tw" and stack:
+                tw = float(stack[-1][1])
+            elif op == "BT":
+                tx = ty = lx = ly = 0.0
+            elif op == "Tj" and stack:
+                tx += show(str(stack[-1][1]), tx, ty)
+            elif op == "'" and stack:
+                ly -= leading
+                tx, ty = lx, ly
+                tx += show(str(stack[-1][1]), tx, ty)
+            elif op == '"' and len(stack) >= 3:
+                tw = float(stack[-3][1])
+                tc = float(stack[-2][1])
+                ly -= leading
+                tx, ty = lx, ly
+                tx += show(str(stack[-1][1]), tx, ty)
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                for k, v in stack[-1]:
+                    if k == "str":
+                        tx += show(str(v), tx, ty)
+                    elif k == "num":
+                        tx -= float(v) / 1000.0 * size
+            elif op == "m" and len(stack) >= 2:
+                cx, cy = float(stack[-2][1]), float(stack[-1][1])
+            elif op == "l" and len(stack) >= 2:
+                nx, ny = float(stack[-2][1]), float(stack[-1][1])
+                seg(cx, cy, nx, ny)
+                cx, cy = nx, ny
+            elif op == "re" and len(stack) >= 4:
+                x, y, w, h = (float(stack[j][1]) for j in (-4, -3, -2, -1))
+                seg(x, y, x + w, y)
+                seg(x, y + h, x + w, y + h)
+                seg(x, y, x, y + h)
+                seg(x + w, y, x + w, y + h)
+            elif op in ("S", "s", "B", "b", "B*", "b*", "f", "F", "f*"):
+                pending.extend(subpath)
+                subpath = []
+            elif op == "n":
+                subpath = []  # no-op paint (clipping path): discard
+        except (ValueError, TypeError, IndexError):
+            pass  # skip malformed operator (reference E3 degradation)
+        stack.clear()
+
+    page.segments.extend(pending)
+    page.segments.extend(subpath)
+
+
+def parse_pdf(data: bytes) -> PdfFile:
+    """Full document parse: bytes -> pages of spans + rule segments +
+    truthy metadata (reference core/document.py:169-178 semantics)."""
+    doc = _Doc(data)
+    root = doc.obj(doc.trailer.get("Root"))
+    pages_node = doc.obj(root.get("Pages")) if isinstance(root, dict) else None
+    page_refs: list = []
+
+    def walk(node, depth: int = 0) -> None:
+        if not isinstance(node, dict) or depth > 32:
+            return
+        if node.get("Type") == "Pages" or "Kids" in node:
+            for kid in doc.obj(node.get("Kids")) or []:
+                walk(doc.obj(kid), depth + 1)
+        elif node.get("Type") == "Page" or "Contents" in node:
+            page_refs.append(node)
+
+    if pages_node is not None:
+        walk(pages_node)
+    if not page_refs:
+        # fallback: scan every object for /Type /Page
+        for num in sorted(doc.objs):
+            o = doc.obj(Ref((num, 0)))
+            if isinstance(o, dict) and o.get("Type") == "Page":
+                page_refs.append(o)
+    if not page_refs:
+        raise PdfError("document has no pages")
+
+    out_pages: list[PdfPage] = []
+    for idx, pnode in enumerate(page_refs, start=1):
+        mb = doc.obj(pnode.get("MediaBox")) or [0, 0, 612, 792]
+        width = float(doc.obj(mb[2]) - doc.obj(mb[0]))
+        height = float(doc.obj(mb[3]) - doc.obj(mb[1]))
+        page = PdfPage(number=idx, width=width, height=height)
+
+        font_map: dict[str, str] = {}
+        res = doc.obj(pnode.get("Resources"))
+        if isinstance(res, dict):
+            fdict = doc.obj(res.get("Font"))
+            if isinstance(fdict, dict):
+                for fid, fref in fdict.items():
+                    fobj = doc.obj(fref)
+                    if isinstance(fobj, dict):
+                        base = fobj.get("BaseFont")
+                        if isinstance(base, str):
+                            font_map[fid] = base
+
+        contents = pnode.get("Contents")
+        content_refs = (doc.obj(contents)
+                        if isinstance(doc.obj(contents), list)
+                        else [contents]) if contents is not None else []
+        blob = bytearray()
+        for cref in content_refs:
+            if isinstance(cref, Ref):
+                try:
+                    blob += doc.stream(cref)
+                    blob += b"\n"
+                except PdfError:
+                    # corrupt content stream: page falls back to empty
+                    # (reference E2, document.py:276-283)
+                    continue
+        _interpret(bytes(blob), page, font_map)
+        out_pages.append(page)
+
+    meta: dict[str, str] = {}
+    info = doc.obj(doc.trailer.get("Info"))
+    if isinstance(info, dict):
+        # truthy-value filter: reference core/document.py:177-178
+        meta = {k: str(v) for k, v in info.items()
+                if isinstance(v, (str, int, float)) and v}
+    return PdfFile(pages=out_pages, metadata=meta)
+
+
+def is_pdf(data: bytes) -> bool:
+    """Magic-byte sniff routing PDF vs HTML (SURVEY.md §7.0)."""
+    return data[:5] == b"%PDF-" or b"%PDF-" in data[:1024]

@@ -1,0 +1,164 @@
+"""Deterministic constrained-subset PDF writer.
+
+Used ONLY to synthesize fixtures / the pages table (TESTDATA.md has no PDF
+bytes). Emits valid PDF 1.4: xref table, Info dict, FlateDecode content
+streams, base-14 fonts, text ops (BT/Tf/Td/Tj/ET) and path ops (m/l/re/S)
+for ruled tables — exactly the subset ``pdf.tokenizer`` parses, so the
+writer/tokenizer pair is inverse by construction (SURVEY.md §7.3 item 2).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+FONT_IDS = {
+    "F1": "Helvetica",
+    "F2": "Helvetica-Bold",
+    "F3": "Helvetica-Oblique",
+    "F4": "Courier",
+}
+
+
+@dataclass
+class Text:
+    """One show-text op. (x, y) is the BASELINE position in PDF user space
+    (bottom-left origin, y up)."""
+
+    x: float
+    y: float
+    text: str
+    font: str = "F1"   # key into FONT_IDS
+    size: float = 12.0
+
+
+@dataclass
+class Rule:
+    """One stroked line segment (table lattice rules)."""
+
+    x0: float
+    y0: float
+    x1: float
+    y1: float
+
+
+@dataclass
+class Rect:
+    """One stroked rectangle (x, y = lower-left corner)."""
+
+    x: float
+    y: float
+    w: float
+    h: float
+
+
+@dataclass
+class Page:
+    width: float = 612.0
+    height: float = 792.0
+    texts: list = field(default_factory=list)
+    rules: list = field(default_factory=list)
+
+
+def _esc(s: str) -> bytes:
+    out = bytearray()
+    for b in s.encode("latin-1", "replace"):
+        if b in (0x28, 0x29, 0x5C):  # ( ) \
+            out.append(0x5C)
+            out.append(b)
+        elif 32 <= b < 127:
+            out.append(b)
+        else:
+            out += ("\\%03o" % b).encode()
+    return bytes(out)
+
+
+def _num(v: float) -> str:
+    s = f"{v:.2f}".rstrip("0").rstrip(".")
+    return s if s else "0"
+
+
+def _content(page: Page) -> bytes:
+    parts: list[bytes] = []
+    for t in page.texts:
+        parts.append(
+            b"BT /%s %s Tf %s %s Td (%s) Tj ET"
+            % (t.font.encode(), _num(t.size).encode(), _num(t.x).encode(),
+               _num(t.y).encode(), _esc(t.text))
+        )
+    for r in page.rules:
+        if isinstance(r, Rect):
+            parts.append(b"%s %s %s %s re S" % tuple(
+                _num(v).encode() for v in (r.x, r.y, r.w, r.h)))
+        else:
+            parts.append(b"%s %s m %s %s l S" % tuple(
+                _num(v).encode() for v in (r.x0, r.y0, r.x1, r.y1)))
+    return b"\n".join(parts)
+
+
+def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
+              compress: bool = True) -> bytes:
+    """Assemble a complete PDF byte stream with a correct xref table."""
+    objs: list[bytes] = []  # 1-indexed object bodies (dict part only)
+
+    n_pages = len(pages)
+    font_obj_base = 3 + 2 * n_pages  # catalog, pages, then page+content pairs
+    font_res = b" ".join(
+        b"/%s %d 0 R" % (fid.encode(), font_obj_base + i)
+        for i, fid in enumerate(FONT_IDS)
+    )
+
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")  # obj 1
+    kids = b" ".join(b"%d 0 R" % (3 + 2 * i) for i in range(n_pages))
+    objs.append(b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, n_pages))
+
+    streams: dict[int, bytes] = {}
+    for i, pg in enumerate(pages):
+        page_num = 3 + 2 * i
+        content_num = page_num + 1
+        objs.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 %s %s] "
+            b"/Resources << /Font << %s >> >> /Contents %d 0 R >>"
+            % (_num(pg.width).encode(), _num(pg.height).encode(),
+               font_res, content_num)
+        )
+        raw = _content(pg)
+        data = zlib.compress(raw) if compress else raw
+        filt = b" /Filter /FlateDecode" if compress else b""
+        objs.append(b"<< /Length %d%s >>" % (len(data), filt))
+        streams[content_num] = data
+
+    for fid, base in FONT_IDS.items():
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /%s /Name /%s >>"
+            % (base.encode(), fid.encode())
+        )
+
+    info_num = None
+    if info:
+        kv = b" ".join(
+            b"/%s (%s)" % (k.encode(), _esc(v)) for k, v in info.items()
+        )
+        objs.append(b"<< %s >>" % kv)
+        info_num = len(objs)
+
+    buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0] * (len(objs) + 1)
+    for num, body in enumerate(objs, start=1):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n%s\n" % (num, body)
+        if num in streams:
+            buf += b"stream\n" + streams[num] + b"\nendstream\n"
+        buf += b"endobj\n"
+
+    xref_off = len(buf)
+    buf += b"xref\n0 %d\n" % (len(objs) + 1)
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, len(objs) + 1):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    trailer = b"<< /Size %d /Root 1 0 R" % (len(objs) + 1)
+    if info_num:
+        trailer += b" /Info %d 0 R" % info_num
+    trailer += b" >>"
+    buf += b"trailer\n%s\nstartxref\n%d\n%%%%EOF\n" % (trailer, xref_off)
+    return bytes(buf)

@@ -1,0 +1,106 @@
+"""Spark-side integration: entry() smoke, extraction job, lineage,
+partitioning determinism, checkpoint/resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as em
+
+    df = em.entry(spark)
+    rows = df.count()
+    assert rows == 500
+    ok = df.filter("ok").count()
+    assert ok == 475  # 25 malformed fixtures error out by design
+
+
+def test_lineage(spark):
+    from pdf_parser_spark.engine import job, source
+
+    pages = source.pages_table(spark, SF0001)
+    ext = job.run_extract(pages, n_partitions=8).cache()
+    lin = job.lineage(ext).toPandas()
+    assert lin.doc_count.sum() == 500
+    assert lin.failure_count.sum() == 25
+    assert (lin.part_id >= 0).all()
+    ext.unpersist()
+
+
+def test_partition_key_stability(spark):
+    """part_id must be a pure function of the data (url), independent of
+    cluster size — the property the resume manifest relies on."""
+    from pdf_parser_spark.engine import partitioning, source
+
+    pages = source.pages_table(spark, SF0001).select("url", "html")
+    a = partitioning.with_partition_key(pages, 32).select("url", "part_id")
+    b = partitioning.with_partition_key(
+        pages.repartition(3), 32).select("url", "part_id")
+    diff = a.join(b.withColumnRenamed("part_id", "p2"), "url") \
+            .filter("part_id <> p2").count()
+    assert diff == 0
+
+
+def test_skew_salting_routes_big_docs(spark):
+    from pdf_parser_spark.engine import partitioning
+
+    rows = [("u%d" % i, bytearray(100)) for i in range(100)]
+    rows.append(("big", bytearray(1_000_000)))
+    df = spark.createDataFrame(rows, "url string, html binary")
+    keyed = partitioning.with_partition_key(df, 32, big_bytes=10_000)
+    big_part = keyed.filter("url = 'big'").select("part_id").collect()[0][0]
+    # big docs land in the dedicated top range [24, 32)
+    assert big_part >= 24
+    small_parts = [r.part_id for r in
+                   keyed.filter("url <> 'big'").select("part_id").collect()]
+    assert max(small_parts) < 24
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """North-rule resume property: kill after K chunks, re-run, output
+    complete and no partition processed twice."""
+    from pdf_parser_spark.engine import checkpoint, source
+
+    root = str(tmp_path / "ckpt")
+    pages = source.pages_table(spark, SF0001)
+
+    checkpoint.run_checkpointed(spark, pages, root, "snap1",
+                                n_partitions=8, chunk_size=2,
+                                fail_after_chunks=2)
+    done1 = checkpoint.completed_partitions(spark, root, "snap1")
+    assert len(done1) == 4  # 2 chunks x 2 partitions committed
+
+    committed_before = checkpoint.read_committed(spark, root, "snap1")
+    urls_before = {r.url for r in committed_before.select("url").collect()}
+
+    # resume
+    checkpoint.run_checkpointed(spark, pages, root, "snap1",
+                                n_partitions=8, chunk_size=2)
+    done2 = checkpoint.completed_partitions(spark, root, "snap1")
+    assert sorted(done2) == list(range(8))
+
+    final = checkpoint.read_committed(spark, root, "snap1")
+    assert final.count() == 500
+    assert final.select("url").distinct().count() == 500  # no reprocessing dups
+    # previously committed rows untouched
+    urls_after = {r.url for r in final.select("url").collect()}
+    assert urls_before <= urls_after
+
+    # lineage covers every partition exactly once
+    lin = spark.read.parquet(f"{root}/lineage")
+    assert lin.filter("snapshot_id = 'snap1'") \
+              .groupBy("part_id").count().filter("count > 1").count() == 0
+    assert lin.agg(F.sum("doc_count")).collect()[0][0] == 500
+
+
+def test_explain_no_extra_shuffle(spark):
+    """Plan shape: exactly one Exchange before mapInPandas (the explicit
+    part_id shuffle) and column pruning down to (url, html)."""
+    from pdf_parser_spark.engine import job, source
+
+    pages = source.pages_table(spark, SF0001)
+    ext = job.run_extract(pages, n_partitions=8)
+    plan = ext._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
