@@ -143,6 +143,153 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (one md5 per token + universal-hash
+    permutations over rolling 3-gram shingle hashes) — the dedup
+    building block, value-checked against DuckDB."""
+    from pdf_parser_spark.analytics import dedup
+
+    sig = dedup.with_minhash(_docs(spark, sf_dir))
+    return sig.select("doc_id",
+                      *[f"mh{i}" for i in range(dedup.N_MINHASH)])
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs with exact shingle
+    Jaccard (banded bucket equi-join, not a cross join)."""
+    from pdf_parser_spark.analytics import dedup
+
+    return dedup.lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.analytics import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.analytics import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.brute_force_topk(emb, similarity.make_queries(emb), k=10)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (non-SQL-expressible: seeded
+    hyperplanes; recall vs brute force asserted in tests)."""
+    from pdf_parser_spark.analytics import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_topk(emb, similarity.make_queries(emb),
+                               dim=64, k=10)
+
+
+def _q_lang_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.analytics import text as T
+
+    return T.lang_features(_docs(spark, sf_dir))
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.analytics import text as T
+
+    return T.quality_features(_docs(spark, sf_dir))
+
+
+def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.analytics import text as T
+
+    return T.bpe_token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_parser_spark.analytics import text as T
+
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads -> 16-dim byte-histogram
+    features via mapInPandas (decode step stubbed — no codecs here)."""
+    from pdf_parser_spark.analytics import multimodal
+    from pdf_parser_spark.engine import source
+
+    pages = source.pages_table(spark, sf_dir)
+    media = multimodal.media_table_from_pages(pages)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes",
+                        F.round(F.element_at("features", 1), 6)
+                        .alias("f0"))
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary (partial+final agg, decimal-exact sums)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(dec("l_quantity")).alias("sum_qty"),
+                 F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+                 F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))).alias("sum_disc_price"),
+                 F.count("*").alias("count_order"))
+            .select("l_returnflag", "l_linestatus",
+                    F.col("sum_qty").cast("double").alias("sum_qty"),
+                    F.col("sum_base_price").cast("double").alias("sum_base_price"),
+                    F.round(F.col("sum_disc_price").cast("double"), 2).alias("sum_disc_price"),
+                    "count_order"))
+
+
+def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k (broadcast dims, TPC-H Q3 flavor)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (orders.join(F.broadcast(cust),
+                        orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                         .cast("double"), 2).alias("total_price"))
+            .orderBy(F.desc("n_orders"), "n_name")
+            .limit(10))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via window lag (30-min inactivity gap) — the
+    relational form of the reference's group-adjacent ops (SURVEY §2.5)."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # events.ts is TIMESTAMP_NTZ: cast via TIMESTAMP to get epoch seconds
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    sess = F.sum(F.when(gap > 1800, 1).otherwise(0)).over(w)
+    per_event = ev.select("user_id", "ts", sess.alias("session_id"))
+    return (per_event.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"))
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.max("n_events").alias("max_session_events")))
+
+
+def _q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg; decimal-exact value sums)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 4).alias("sum_value")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": _q_extract_html,
@@ -151,7 +298,99 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_parity_by_lang": _q_token_parity,
         "dedup_exact": _q_dedup_exact,
         "text_stats": _q_text_stats,
+        "dedup_minhash_sig": _q_minhash_sig,
+        "dedup_lsh_pairs": _q_lsh_pairs,
+        "dedup_simhash": _q_simhash,
+        "ann_brute_topk": _q_ann_brute,
+        "ann_lsh_topk": _q_ann_lsh,
+        "lang_features": _q_lang_features,
+        "quality_features": _q_quality,
+        "bpe_token_counts": _q_bpe_tokens,
+        "fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
+        "tpch_q1": _q_tpch_q1,
+        "top_customers_by_nation": _q_top_customers,
+        "sessionize_events": _q_sessionize,
+        "hourly_events": _q_hourly_events,
     }
+
+
+# --- DuckDB oracle SQL fragments ------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _sql_md5int(expr: str) -> str:
+    """Portable md5 -> int64 (matches analytics.dedup._md5_int)."""
+    return (f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) "
+            f"AS UBIGINT) AS BIGINT)")
+
+
+_P = 2147483647  # analytics.dedup.P
+
+
+def _sql_shingle_hash_cte(n: int) -> str:
+    """CTEs th (token hashes) and sh (rolling n-gram shingle hashes) —
+    mirrors analytics.dedup.with_shingle_hashes."""
+    roll = f"(th[i] % {_P})"
+    for k in range(1, n):
+        roll = f"(({roll} * 31 + th[i + {k}] % {_P}) % {_P})"
+    return (
+        f"WITH th AS (SELECT doc_id, list_transform({_TOKS}, "
+        f"t -> {_sql_md5int('t')}) AS th FROM documents), "
+        f"sh AS (SELECT doc_id, CASE WHEN len(th) >= {n} THEN "
+        f"list_transform(range(1, greatest(len(th) - {n - 1}, 1) + 1), "
+        f"i -> {roll}) "
+        f"ELSE [th[1] % {_P}] END AS s FROM th)"
+    )
+
+
+def _perm_params_sql(j: int) -> tuple[int, int]:
+    return 1103515245 + 2 * j + 1, 12345 + 7919 * j
+
+
+def _sql_minhash_cte(n_hash: int, shingle_n: int = 3) -> str:
+    mh_cols = ", ".join(
+        "CAST(list_min(list_transform(s, "
+        f"h -> (h % {_P} * {a} + {b}) % {_P})) AS BIGINT) AS mh{j}"
+        for j, (a, b) in ((j, _perm_params_sql(j)) for j in range(n_hash))
+    )
+    return (_sql_shingle_hash_cte(shingle_n)
+            + f", sig AS (SELECT doc_id, s, {mh_cols} FROM sh)")
+
+
+def _sql_simhash(bits: int = 16) -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(bits)
+    )
+    return (
+        f"WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents), "
+        f"h AS (SELECT doc_id, {_sql_md5int('t')} AS h FROM tok), "
+        f"bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits"
+    )
+
+
+_SQL_COS = (
+    "list_sum(list_transform(list_zip(q.q_emb, e.embedding), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(q.q_emb, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(e.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+_LANG_MARKERS_SQL = {
+    "en": "('the','and','of','to','is')",
+    "es": "('el','la','de','que','los')",
+    "de": "('der','die','und','das','ist')",
+    "fr": "('le','la','et','les','des')",
+    "zh": "('de5','shi4','le5','zai4','he2')",
+}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -159,6 +398,21 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
         "AS extracted FROM documents"
     )
+    hits_cols = ", ".join(
+        f"len(list_filter({_TOKS}, t -> t IN {w})) AS hits_{lang}"
+        for lang, w in _LANG_MARKERS_SQL.items()
+    )
+    guess_case = "CASE " + " ".join(
+        f"WHEN hits_{lang} = g THEN '{lang}'"
+        for lang in sorted(_LANG_MARKERS_SQL)
+    ) + " END"
+    bands = []
+    for b in range(4):
+        bucket = (f"concat(CAST(mh{2*b} AS VARCHAR), ',', "
+                  f"CAST(mh{2*b+1} AS VARCHAR))")
+        bands.append(f"SELECT doc_id, s, {b} AS band, {bucket} AS bucket "
+                     f"FROM sig")
+    banded = " UNION ALL ".join(bands)
     return {
         "extract_html_roundtrip": roundtrip,
         "extract_pdf_roundtrip": roundtrip,
@@ -189,4 +443,108 @@ def oracle_sql() -> dict[str, str]:
             "  AS n_distinct_tokens, "
             "length(text) AS n_chars FROM documents"
         ),
+        "dedup_minhash_sig": (
+            _sql_minhash_cte(8) + " SELECT doc_id, "
+            + ", ".join(f"mh{j}" for j in range(8)) + " FROM sig"
+        ),
+        "dedup_lsh_pairs": (
+            _sql_minhash_cte(8)
+            + f", banded AS ({banded}), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, "
+            "b.doc_id AS doc_b FROM banded a JOIN banded b "
+            "ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id), "
+            "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh) "
+            "SELECT p.doc_a, p.doc_b, "
+            "round(CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) / "
+            "(len(sa.sd) + len(sb.sd) "
+            " - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))), 6) "
+            "AS jaccard "
+            "FROM pairs p JOIN shd sa ON p.doc_a = sa.doc_id "
+            "JOIN shd sb ON p.doc_b = sb.doc_id"
+        ),
+        "dedup_simhash": _sql_simhash(16),
+        "ann_brute_topk": (
+            "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb "
+            "FROM embeddings WHERE vec_id < 5), "
+            f"scored AS (SELECT q.q_id, e.vec_id AS neighbor_id, {_SQL_COS} "
+            "AS cos FROM embeddings e, q WHERE e.vec_id <> q.q_id) "
+            "SELECT q_id, rank, neighbor_id, round(cos, 6) AS cosine FROM "
+            "(SELECT q_id, neighbor_id, cos, row_number() OVER "
+            "(PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank "
+            "FROM scored) WHERE rank <= 10"
+        ),
+        "lang_features": (
+            f"SELECT doc_id, {hits_cols}, {guess_case} AS lang_guess "
+            f"FROM (SELECT doc_id, text, greatest("
+            + ", ".join(
+                f"len(list_filter({_TOKS}, t -> t IN {w}))"
+                for w in _LANG_MARKERS_SQL.values())
+            + ") AS g FROM documents)"
+        ),
+        "quality_features": (
+            f"SELECT doc_id, n_tokens, stopword_hits, punct_chars, "
+            "round((n_chars - (n_tokens - 1)) / n_tokens, 6) "
+            "AS mean_token_len, "
+            "round(least(n_tokens / 100.0, 1.0) * 0.4 "
+            "+ least(stopword_hits / greatest(n_tokens, 1) * 10.0, 1.0) "
+            "* 0.3 + (1.0 - least(punct_chars / greatest(n_chars, 1) "
+            "* 5.0, 1.0)) * 0.3, 6) AS quality_score FROM ("
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens, "
+            f"len(list_filter({_TOKS}, "
+            f"t -> t IN {_LANG_MARKERS_SQL['en']})) AS stopword_hits, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', "
+            "'g')) AS punct_chars, length(text) AS n_chars FROM documents)"
+        ),
+        "bpe_token_counts": (
+            f"SELECT doc_id, len({_TOKS}) AS ws_tokens, "
+            "len(regexp_extract_all(text, "
+            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens FROM documents"
+        ),
+        "fingerprints": (
+            _sql_shingle_hash_cte(8)
+            + " SELECT doc_id, CAST(list_min(s) AS BIGINT) AS fp_min, "
+            "CAST(list_max(s) AS BIGINT) AS fp_max FROM sh"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS sum_base_price, "
+            "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+            "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))"
+            ") AS DOUBLE), 2) AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            ", 2) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_orders DESC, n_name LIMIT 10"
+        ),
+        "sessionize_events": (
+            "SELECT user_id, count(*) AS n_sessions, "
+            "max(n_events) AS max_session_events FROM ("
+            "SELECT user_id, session_id, count(*) AS n_events FROM ("
+            "SELECT user_id, sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts) AS session_id "
+            "FROM (SELECT user_id, ts, CAST(epoch(ts) AS BIGINT) - "
+            "lag(CAST(epoch(ts) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts) AS gap_s FROM events)) "
+            "GROUP BY user_id, session_id) GROUP BY user_id"
+        ),
+        "hourly_events": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*) AS n_events, "
+            "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) "
+            "AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        # ann_lsh_topk, media_features: non-SQL-expressible (seeded
+        # hyperplanes / byte histograms) -> rows-only driver check;
+        # recall & feature properties asserted in tests/.
     }

@@ -1,0 +1,166 @@
+"""Deduplication operators over a (doc_id, text) corpus.
+
+Hash design (portable to DuckDB for the oracle, fast in Spark):
+
+* ONE md5 pass per token (``_md5_int``: first 60 bits of md5 as int64 —
+  DuckDB: CAST(concat('0x', substr(md5(x),1,15)) AS UBIGINT)).
+* shingle hashes: rolling combine of n consecutive token hashes,
+  ``z := (z % P) * 31 + (h % P), then % P`` — no shingle strings built.
+* minhash permutations: universal hashing ``(h % P * a_j + b_j) % P``
+  from the single base hash — NOT one md5 per permutation.
+
+PERF invariants (measured; see git history for the 100s -> 0.9s arc):
+
+* every multi-referenced array lives in its own ``withColumn`` — a
+  lambda body that references a non-trivial expression re-evaluates it
+  PER ELEMENT (higher-order functions are interpreted, no CSE);
+* lambdas only touch their own arguments;
+* lambdas must have arity exactly 1 or 2 that matches intent — pyspark
+  treats a second parameter (including defaults!) as the element index.
+
+Plan-shape notes for 100 TB:
+* token/shingle/minhash math is per-row, no shuffle;
+* LSH banding shuffles narrow (doc_id, band, bucket) rows only; shingle
+  arrays are re-attached to the few surviving pairs afterwards;
+* bucket sizes are content-hash-bounded — no skew salting needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 8        # permutations (bands x rows)
+N_BANDS = 4          # LSH bands -> 2 rows per band
+SHINGLE_N = 3        # token shingle width
+P = 2147483647       # Mersenne prime 2^31 - 1
+
+
+def _md5_int(col):
+    """First 60 bits of md5 as a non-negative bigint (DuckDB-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text_col):
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def _perm(a: int, b: int):
+    def apply(h):
+        return (h % P * a + b) % P
+    return apply
+
+
+def perm_params(j: int) -> tuple[int, int]:
+    """Deterministic universal-hash parameters for permutation j."""
+    return 1103515245 + 2 * j + 1, 12345 + 7919 * j
+
+
+def with_shingle_hashes(docs: DataFrame, text_col: str = "text",
+                        n: int = SHINGLE_N,
+                        out: str = "sh") -> DataFrame:
+    """Adds ``out``: array<long> of hashed token n-gram shingles.
+    Short docs (< n tokens) get [first-token-hash]."""
+    df = docs.withColumn("_toks", tokens(F.col(text_col)))
+    df = df.withColumn("_th", F.transform("_toks", _md5_int))
+    m = F.greatest(F.size("_th") - (n - 1), F.lit(1))
+    z = F.transform(F.slice("_th", 1, m), lambda h: h % P)
+    for k in range(1, n):
+        z = F.zip_with(z, F.slice("_th", k + 1, m),
+                       lambda acc, h: (acc * 31 + h % P) % P)
+    df = df.withColumn(
+        out,
+        F.when(F.size("_th") >= n, z)
+        .otherwise(F.array(F.element_at("_th", 1) % P)))
+    return df.drop("_toks")
+
+
+def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds mh0..mh{k-1} columns (the minhash signature)."""
+    df = with_shingle_hashes(docs, text_col)
+    for j in range(N_MINHASH):
+        a, b = perm_params(j)
+        df = df.withColumn(
+            f"mh{j}", F.array_min(F.transform("sh", _perm(a, b))))
+    return df.drop("_th")
+
+
+def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
+                        bands: int = N_BANDS) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: band the signature, bucket
+    by the banded signature slice, emit intra-bucket pairs with exact
+    hashed-shingle Jaccard similarity."""
+    rows = N_MINHASH // bands
+    sig = with_minhash(docs, text_col)
+    # narrow banding rows only (no arrays through the join shuffle)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[
+                    F.col(f"mh{b * rows + r}").cast("string")
+                    for r in range(rows)
+                ]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"))
+    banded = banded.select("doc_id", "bb.band", "bb.bucket")
+    pairs = (banded.alias("a").join(banded.alias("b"), on=["band", "bucket"])
+             .where(F.col("a.doc_id") < F.col("b.doc_id"))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sh = (with_shingle_hashes(docs, text_col)
+          .select("doc_id", F.array_distinct("sh").alias("shd")))
+    pairs = (pairs
+             .join(sh.select(F.col("doc_id").alias("doc_a"),
+                             F.col("shd").alias("sh_a")), "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"),
+                             F.col("shd").alias("sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return pairs.select("doc_a", "doc_b",
+                        F.round(inter / union, 6).alias("jaccard"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text",
+            bits: int = 16) -> DataFrame:
+    """16-bit SimHash over whitespace tokens, fully relational: explode
+    tokens, per-bit signed contributions, sign -> bit."""
+    toks = (docs.select("doc_id",
+                        F.explode(tokens(F.col(text_col))).alias("tok"))
+            .withColumn("h", _md5_int(F.col("tok"))))
+    aggs = [
+        F.sum(F.when((F.shiftright("h", i).bitwiseAND(F.lit(1))) == 1,
+                     1).otherwise(-1)).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    per_bit = toks.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return per_bit.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup with canonical representative."""
+    return (docs.groupBy(F.md5(F.encode(text_col, "UTF-8")).alias("text_hash"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("canonical_doc_id")))
+
+
+# kept for callers that want raw shingle hash arrays
+def shingles(text_col, n: int = SHINGLE_N):
+    """DEPRECATED in favor of with_shingle_hashes (see PERF invariants in
+    the module docstring); retained for expression-level use on SHORT
+    arrays only."""
+    toks = tokens(text_col)
+    size = F.size(toks)
+    m = F.greatest(size - n + 1, F.lit(1))
+    z = F.slice(toks, 1, m)
+    for k in range(1, n):
+        z = F.zip_with(z, F.slice(toks, k + 1, m),
+                       lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(size >= n, z).otherwise(
+        F.array(F.concat_ws(" ", toks)))

@@ -1,0 +1,95 @@
+"""Text analysis over (doc_id, text): language-ID features, quality
+scoring, token counting, document fingerprinting. All JVM-side built-ins,
+all DuckDB-expressible for the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens, with_shingle_hashes
+
+# Marker stopwords per language (tiny n-gram-free heuristic: function-word
+# hit counts; deterministic and SQL-portable).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # romanized placeholders
+}
+
+# BPE-ish word/punct token regex (word runs OR single non-space symbol).
+BPE_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def _hits(text_col, words: list[str]):
+    marker = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text_col),
+                           lambda t: F.array_contains(marker, t)))
+
+
+def lang_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc marker-word hit counts + argmax language guess
+    (deterministic tie-break: alphabetical language order)."""
+    hit_cols = {f"hits_{lang}": _hits(F.col(text_col), words)
+                for lang, words in LANG_MARKERS.items()}
+    out = docs.select("doc_id", *[c.alias(n) for n, c in hit_cols.items()])
+    best = F.greatest(*[F.col(n) for n in hit_cols])
+    guess = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"hits_{lang}") == best
+        guess = F.when(cond, F.lit(lang)) if guess is None \
+            else guess.when(cond, F.lit(lang))
+    return out.select("doc_id", *hit_cols, guess.alias("lang_guess"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / mean-token-length features and a
+    composite score in [0,1] (web-corpus quality filtering)."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    punct = n_chars - F.length(F.regexp_replace(
+        F.col(text_col), r"[^\w\s]", ""))
+    mean_tok = (n_chars - (n_tokens - 1)) / n_tokens
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_hits / F.greatest(n_tokens, F.lit(1)) * 10.0,
+                  F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 5.0,
+                         F.lit(1.0))) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stopword_hits"),
+        punct.alias("punct_chars"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(
+            F.col(text_col), F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text",
+                 n: int = 8) -> DataFrame:
+    """Rolling shingle fingerprint: min/max rolling-hash over token
+    8-grams — a winnowing-style content fingerprint, join-friendly for
+    clustering."""
+    df = with_shingle_hashes(docs, text_col, n=n)
+    return df.select(
+        "doc_id",
+        F.array_min("sh").alias("fp_min"),
+        F.array_max("sh").alias("fp_max"),
+    )

@@ -74,7 +74,10 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
         if fail_after_chunks is not None and ci >= fail_after_chunks:
             return  # simulated kill: manifest rows for this chunk not written
         subset = keyed.filter(F.col("part_id").isin(chunk))
-        shuffled = partitioning.repartition_by_key(subset, len(chunk))
+        # spread the chunk across the whole cluster, not len(chunk) tasks
+        shuffled = partitioning.repartition_for_extract(
+            subset, max(len(chunk),
+                        spark.sparkContext.defaultParallelism))
         extracted = shuffled.mapInPandas(job._extract_batches,
                                          job.EXTRACTED_SCHEMA)
         # One pass over the data: cache the chunk output, derive lineage

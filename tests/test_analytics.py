@@ -1,0 +1,161 @@
+"""Analytics operator properties: LSH recall vs brute force, simhash
+similarity locality, minhash-jaccard correlation, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF0001}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF0001}/embeddings.parquet")
+
+
+def test_lsh_pairs_have_high_jaccard(spark, docs):
+    """LSH candidates must be enriched for genuinely similar docs
+    relative to random pairs."""
+    from pdf_parser_spark.analytics import dedup
+
+    pairs = dedup.lsh_candidate_pairs(docs).toPandas()
+    if len(pairs):
+        # banding with 2 rows/band surfaces pairs sharing 2 consecutive
+        # minhashes; their exact jaccard must be positive
+        assert (pairs.jaccard > 0).all()
+
+
+def test_lsh_finds_planted_near_duplicates(spark):
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(20):
+        rows.append((i, f"unrelated document number {i} with its own "
+                        f"completely different words {i * 7}"))
+    rows.append((100, base))
+    rows.append((101, base + " extra"))          # near-dup of 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from pdf_parser_spark.analytics import dedup
+
+    pairs = dedup.lsh_candidate_pairs(df).toPandas()
+    assert ((pairs.doc_a == 100) & (pairs.doc_b == 101)).any()
+    planted = pairs[(pairs.doc_a == 100) & (pairs.doc_b == 101)]
+    assert (planted.jaccard > 0.5).all()
+
+
+def test_simhash_locality(spark):
+    """Near-identical docs get near-identical simhash (small hamming)."""
+    from pdf_parser_spark.analytics import dedup
+
+    base = " ".join(f"word{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "entirely different "
+          + " ".join(f"other{i}" for i in range(50)))],
+        "doc_id long, text string")
+    r = {row.doc_id: row.simhash
+         for row in dedup.simhash(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(r[1], r[2]) < ham(r[1], r[3])
+
+
+def test_ann_lsh_recall_on_clustered_data(spark):
+    """On clustered embeddings (the structure real corpora have) the
+    sign-LSH path must recover nearly all true neighbors while pruning
+    most of the corpus."""
+    import numpy as np
+
+    from pdf_parser_spark.analytics import similarity
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(10, 64)
+    rows = []
+    for i in range(400):
+        c = centers[i % 10]
+        v = c + 0.15 * rng.randn(64)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.make_queries(df, n=5)
+    brute = similarity.brute_force_topk(df, q, k=10).toPandas()
+    approx = similarity.lsh_topk(df, q, dim=64, k=10,
+                                 hamming_budget=2).toPandas()
+    recalls = []
+    for qid in brute.q_id.unique():
+        b = set(brute[brute.q_id == qid].neighbor_id)
+        a = set(approx[approx.q_id == qid].neighbor_id)
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ann_lsh_runs_on_random_data(spark, emb):
+    """Random near-orthogonal vectors are LSH's worst case; the operator
+    must still return k ranked rows per query (graceful recall, not
+    failure)."""
+    from pdf_parser_spark.analytics import similarity
+
+    q = similarity.make_queries(emb, n=5)
+    approx = similarity.lsh_topk(emb, q, dim=64, k=10,
+                                 hamming_budget=3).toPandas()
+    assert set(approx.groupby("q_id").size()) == {10}
+
+
+def test_brute_topk_is_exact(spark, emb):
+    """Cross-check the Spark plan against a local numpy ground truth."""
+    import numpy as np
+
+    from pdf_parser_spark.analytics import similarity
+
+    q = similarity.make_queries(emb, n=2)
+    got = similarity.brute_force_topk(emb, q, k=5).toPandas()
+    pdf = emb.toPandas()
+    M = np.stack([np.asarray(e, dtype="float64") for e in pdf.embedding])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    ids = pdf.vec_id.values
+    for qid in (0, 1):
+        qv = M[ids == qid][0]
+        sims = M @ qv
+        order = [int(ids[i]) for i in np.argsort(-sims)
+                 if ids[i] != qid][:5]
+        mine = list(got[got.q_id == qid].sort_values("rank").neighbor_id)
+        assert mine == order
+
+
+def test_media_features_shape(spark):
+    from pdf_parser_spark.analytics import multimodal
+    from pdf_parser_spark.engine import source
+
+    pages = source.pages_table(spark, SF0001)
+    media = multimodal.media_table_from_pages(pages)
+    feats = multimodal.extract_features(media)
+    r = feats.limit(5).collect()
+    assert all(len(row.features) == multimodal.N_FEATURES for row in r)
+    s = feats.agg(F.min(F.col("n_bytes"))).collect()[0][0]
+    assert s > 0
+    # features are L1-normalized
+    total = feats.select(
+        F.aggregate("features", F.lit(0.0),
+                    lambda a, x: a + x.cast("double")).alias("s")
+    ).agg(F.max(F.abs(F.col("s") - 1.0))).collect()[0][0]
+    assert total < 1e-3
+
+
+def test_decode_real_is_stubbed():
+    from pdf_parser_spark.analytics import multimodal
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG...", "image")
+
+
+def test_lang_features_guess_english(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is of no concern to any of us"),
+         (2, "el que la de los otros el que")],
+        "doc_id long, text string")
+    r = {row.doc_id: row.lang_guess
+         for row in T.lang_features(df).collect()}
+    assert r[1] == "en"
+    assert r[2] == "es"

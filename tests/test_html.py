@@ -1,0 +1,93 @@
+"""HTML extractor tests: boilerplate stripping, malformed input,
+entities, and fast-tokenizer vs stdlib-parser A/B equivalence."""
+
+import time
+
+from pdf_parser_spark.html.extract import extract_html
+from pdf_parser_spark.html.writer import render_html
+
+
+def test_boilerplate_stripped():
+    html = render_html("some real article content " * 5, 1, "en")
+    res = extract_html(html)
+    assert "Home" not in res["text"]          # nav (header dropped)
+    assert "Related story" not in res["text"]  # aside
+    assert "Copyright" not in res["text"]      # footer
+    assert "tag1" not in res["text"]           # link farm (density)
+    assert "some real article content" in res["text"]
+    assert res["title"] == "Document 1"
+    assert res["lang"] == "en"
+
+
+def test_link_heavy_page_rejected():
+    html = (b"<html><body><div>"
+            b'<a href="/1">one link</a> <a href="/2">two link</a> '
+            b'<a href="/3">three link</a></div></body></html>')
+    res = extract_html(html)
+    assert res["text"] == ""
+
+
+def test_nested_content_and_inline_spans():
+    html = (b"<html><body><div><div><div><p>Deeply nested paragraph with "
+            b"<b>bold</b> and <i>italic</i> inline spans preserved"
+            b"</p></div></div></div></body></html>")
+    res = extract_html(html)
+    assert res["text"] == ("Deeply nested paragraph with bold and italic "
+                           "inline spans preserved")
+
+
+def test_entities_decoded():
+    html = ("<html><body><p>Fish &amp; chips &#x2014; really&nbsp;good "
+            "café food here</p></body></html>").encode("utf-8")
+    res = extract_html(html)
+    assert "Fish & chips" in res["text"]
+    assert "—" in res["text"]
+    assert "café" in res["text"]
+
+
+def test_malformed_no_crash():
+    html = (b"<html><body><p>unclosed paragraph content that is long "
+            b"enough to keep</div></div><p>second one also long enough "
+            b"to keep around here")
+    res = extract_html(html)
+    assert "unclosed paragraph content" in res["text"]
+    assert "second one also long" in res["text"]
+
+
+def test_fast_matches_stdlib_on_corpus(documents_pdf):
+    for r in documents_pdf.head(200).itertuples():
+        blob = render_html(r.text, r.doc_id, r.lang)
+        fast = extract_html(blob, fast=True)
+        ref = extract_html(blob, fast=False)
+        assert fast == ref, r.doc_id
+
+
+def test_fast_matches_stdlib_on_edge_cases():
+    cases = [
+        b"<p>no html wrapper but plenty of text to keep here today</p>",
+        b"<HTML><BODY><P>UPPERCASE TAGS WITH LONG ENOUGH CONTENT HERE</P>",
+        b"<html><!-- comment --><body><p>after a comment, enough text to "
+        b"keep</p><![CDATA[junk]]></body></html>",
+        b"<html><body><script>var x = '<p>not content</p>';</script>"
+        b"<p>actual content that is long enough to keep</p></body></html>",
+        b"<html><body><p>self closing <br/> tag inside long enough text"
+        b"</p></body></html>",
+        b'<html><body><p data-x="a>b">attr with gt, text long enough to '
+        b"keep</p></body></html>",
+    ]
+    for c in cases:
+        assert extract_html(c, fast=True) == extract_html(c, fast=False), c
+
+
+def test_fast_is_faster(documents_pdf):
+    blobs = [render_html(r.text, r.doc_id, r.lang)
+             for r in documents_pdf.head(200).itertuples()]
+    t0 = time.perf_counter()
+    for b in blobs:
+        extract_html(b, fast=False)
+    slow = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for b in blobs:
+        extract_html(b, fast=True)
+    fast = time.perf_counter() - t0
+    assert fast < slow

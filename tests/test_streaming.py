@@ -1,0 +1,94 @@
+"""Structured Streaming: incremental extraction with checkpoint resume,
+watermarked windowed lineage, stateful sessionization."""
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF0001
+
+
+def _write_pages_batch(spark, out_dir, lo, hi):
+    from pdf_parser_spark.engine import source
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet") \
+                     .where(f"doc_id >= {lo} AND doc_id < {hi}")
+    pages = source.pages_table(spark, SF0001, n_partitions=2) \
+        if False else None
+    # build only the requested slice (pages_table reads the whole file)
+    docs = docs.select("doc_id", "text", "lang").repartition(2, "doc_id")
+    from pdf_parser_spark.engine.source import PAGES_SCHEMA, _synth_batches
+
+    df = docs.mapInPandas(_synth_batches, PAGES_SCHEMA)
+    df.write.mode("append").parquet(out_dir)
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    """Two appended batches; the second run must process ONLY the new
+    files (checkpoint offset log) and never duplicate output rows."""
+    from pdf_parser_spark.streaming import job as sjob
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "extracted")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_pages_batch(spark, src, 0, 100)
+    sjob.run_extract_stream(spark, src, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 100
+
+    _write_pages_batch(spark, src, 100, 250)
+    sjob.run_extract_stream(spark, src, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 250
+    assert final.select("url").distinct().count() == 250
+    # extraction semantics identical to batch job
+    assert final.filter("NOT ok").count() == \
+        sum(1 for i in range(250) if i % 20 == 0)
+
+
+def test_windowed_lineage_batch_equivalence(spark):
+    """The watermarked windowed aggregation runs on a batch frame with
+    the same results as a plain groupBy (sanity for the streaming path)."""
+    from pdf_parser_spark.engine import source
+    from pdf_parser_spark.streaming.job import windowed_lineage
+
+    pages = source.pages_table(spark, SF0001)
+    win = windowed_lineage(pages).toPandas()
+    assert win.n_pages.sum() == 500
+    plain = (pages.groupBy(F.date_trunc("hour", "warc_ts"))
+             .count().toPandas())
+    assert sorted(win.n_pages) == sorted(plain["count"])
+
+
+def test_stateful_sessionization_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer over a rate-limited file
+    stream: gap > 1800s closes a session."""
+    from pdf_parser_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "events_in")
+    # user 1: two sessions (gap 5000s); user 2: one session
+    rows = [(1, 1000), (1, 1600), (1, 6600), (2, 1000), (2, 1100)]
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(rows, columns=["user_id", "epoch_s"]).to_parquet(
+        os.path.join(src, "b1.parquet"))
+    stream = (spark.readStream
+              .schema("user_id long, epoch_s long")
+              .parquet(src))
+    sessions = sessionize_stream(stream)
+    out = str(tmp_path / "sessions_out")
+    q = (sessions.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "sck"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out).toPandas()
+    # only CLOSED sessions are emitted in append mode: user 1's first
+    # session closed by the 6600 event
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r.user_id, r.session_start, r.session_end, r.n_events) == \
+        (1, 1000, 1600, 2)
