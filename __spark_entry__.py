@@ -227,6 +227,40 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .alias("f0"))
 
 
+def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown sink roundtrip (S6): PDF -> markdown; body paragraphs are
+    plain text in md, front-matter is the Info title — both checked."""
+    from pdf_parser_spark.datagen.pages import render_pdf_doc
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdf_parser_spark.extractor import parse_pdf_document
+        from pdf_parser_spark.render import formatter
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc = parse_pdf_document(
+                    f"doc://{doc_id}", render_pdf_doc(str(text), int(doc_id)))
+                md = formatter.format_markdown(doc)
+                lines = md.split("\n")
+                rows.append({
+                    "doc_id": int(doc_id),
+                    "front_matter": lines[0],
+                    "body": " ".join(
+                        ln for ln in lines[1:] if ln.strip()
+                        and not ln.startswith(("---", "*Page "))),
+                })
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "front_matter", "body"])
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, front_matter string, body string")
+    return out.select(
+        "doc_id", "front_matter",
+        F.trim(F.regexp_replace("body", r"\s+", " ")).alias("body"))
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (partial+final agg, decimal-exact sums)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -308,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_tokens,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "extract_markdown_roundtrip": _q_extract_markdown,
         "tpch_q1": _q_tpch_q1,
         "top_customers_by_nation": _q_top_customers,
         "sessionize_events": _q_sessionize,
@@ -464,6 +499,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN shd sb ON p.doc_b = sb.doc_id"
         ),
         "dedup_simhash": _sql_simhash(16),
+        "extract_markdown_roundtrip": (
+            "SELECT doc_id, "
+            "concat('# Document ', CAST(doc_id AS VARCHAR)) "
+            "AS front_matter, "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body "
+            "FROM documents"
+        ),
         "ann_brute_topk": (
             "WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb "
             "FROM embeddings WHERE vec_id < 5), "

@@ -13,7 +13,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    BooleanType, IntegerType, LongType, StringType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 from ..extractor import extract_document
@@ -37,6 +38,55 @@ EXTRACTED_SCHEMA = StructType([
 
 LINEAGE_COLS = ["part_id", "doc_count", "failure_count", "bytes_in",
                 "pages_out", "blocks_out", "tables_out"]
+
+# TESTDATA.md §5 output contract: span offsets into the formatted text
+SPAN_TYPE = StructType([
+    StructField("page", IntegerType()),
+    StructField("text", StringType()),
+    StructField("x0", DoubleType()),
+    StructField("y0", DoubleType()),
+    StructField("x1", DoubleType()),
+    StructField("y1", DoubleType()),
+    StructField("font", StringType()),
+    StructField("size", DoubleType()),
+    StructField("bold", BooleanType()),
+    StructField("italic", BooleanType()),
+    StructField("offset", LongType()),
+    StructField("length", LongType()),
+])
+
+EXTRACTED_SPANS_SCHEMA = StructType(
+    EXTRACTED_SCHEMA.fields + [StructField("spans", ArrayType(SPAN_TYPE))])
+
+
+def _extract_batches_with_spans(batches: Iterator[pd.DataFrame]
+                                ) -> Iterator[pd.DataFrame]:
+    """Variant kernel emitting the spans array column (nested Arrow)."""
+    for pdf in batches:
+        rows = []
+        part_ids = (pdf["part_id"] if "part_id" in pdf.columns
+                    else pd.Series([-1] * len(pdf)))
+        for url, blob, part_id in zip(pdf["url"], pdf["html"], part_ids):
+            data = bytes(blob) if blob is not None else None
+            r = extract_document(url, data, with_spans=True)
+            rows.append({
+                "url": r.url,
+                "part_id": int(part_id),
+                "doc_type": r.doc_type,
+                "text": r.text,
+                "body_text": r.body_text,
+                "n_pages": r.n_pages,
+                "n_blocks": r.n_blocks,
+                "n_tables": r.n_tables,
+                "bytes_in": len(data) if data is not None else 0,
+                "ok": r.error_kind is None,
+                "error_kind": r.error_kind,
+                "error_message": r.error_message,
+                "title": r.metadata.get("title"),
+                "spans": r.spans,
+            })
+        yield pd.DataFrame(rows,
+                           columns=[f.name for f in EXTRACTED_SPANS_SCHEMA])
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,7 +121,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def run_extract(pages: DataFrame, n_partitions: int | None = None,
-                shuffle: bool = False) -> DataFrame:
+                shuffle: bool = False,
+                with_spans: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, text, lang) -> extracted DataFrame.
 
     Plan shape: scan -> project(url, html) + part_id -> mapInPandas.
@@ -94,6 +145,9 @@ def run_extract(pages: DataFrame, n_partitions: int | None = None,
         pages.select("url", "html"), n_partitions)
     if shuffle:
         keyed = partitioning.repartition_for_extract(keyed, n_partitions)
+    if with_spans:
+        return keyed.mapInPandas(_extract_batches_with_spans,
+                                 EXTRACTED_SPANS_SCHEMA)
     return keyed.mapInPandas(_extract_batches, EXTRACTED_SCHEMA)
 
 

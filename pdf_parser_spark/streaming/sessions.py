@@ -66,13 +66,25 @@ def _sessionize(key, batches: Iterable[pd.DataFrame],
         n += 1
     if start is not None:
         state.update((start, last, n))
-        state.setTimeoutDuration(60_000)
+        try:
+            state.setTimeoutDuration(60_000)
+        except Exception:
+            pass  # NoTimeout mode: open sessions wait for the next event
     if out:
         yield pd.DataFrame(out)
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events(user_id long, epoch_s long) stream -> closed sessions."""
+def sessionize_stream(events: DataFrame,
+                      idle_flush: bool = False) -> DataFrame:
+    """events(user_id long, epoch_s long) stream -> closed sessions.
+
+    ``idle_flush=True`` adds a 60s processing-time timeout that force-
+    closes idle sessions — use with a real trigger interval. With
+    ``availableNow`` triggers leave it off: Spark spins empty micro-
+    batches until the wall-clock timeout fires, so a drain-the-source
+    run would take a minute to terminate (observed)."""
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_flush
+               else GroupStateTimeout.NoTimeout)
     return (events
             .groupBy("user_id")
             .applyInPandasWithState(
@@ -80,4 +92,4 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
                 outputStructType=SESSION_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=timeout))

@@ -92,3 +92,21 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     r = got.iloc[0]
     assert (r.user_id, r.session_start, r.session_end, r.n_events) == \
         (1, 1000, 1600, 2)
+
+    # second batch after a restart: state store must carry user 2's open
+    # session across queries; the 9000 event closes it
+    pd.DataFrame([(2, 9000)], columns=["user_id", "epoch_s"]).to_parquet(
+        os.path.join(src, "b2.parquet"))
+    q2 = (sessionize_stream(
+            spark.readStream.schema("user_id long, epoch_s long")
+            .parquet(src))
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", str(tmp_path / "sck"))
+          .outputMode("append")
+          .trigger(availableNow=True).start())
+    q2.awaitTermination()
+    got2 = spark.read.parquet(out).toPandas().sort_values("user_id")
+    assert len(got2) == 2
+    u2 = got2[got2.user_id == 2].iloc[0]
+    assert (u2.session_start, u2.session_end, u2.n_events) == (1000, 1100, 2)
