@@ -42,11 +42,28 @@ class ExtractResult:
     spans: list[dict] = field(default_factory=list)
 
 
-def parse_pdf_document(url: str, data: bytes) -> DocIR:
-    """bytes -> DocIR with per-page fallback (reference document.py:270-283)."""
+class PageRangeError(ValueError):
+    """Reference PDFPageError for invalid ranges (document.py:241-261)."""
+
+
+def parse_pdf_document(url: str, data: bytes, start_page: int = 1,
+                       end_page: int | None = None) -> DocIR:
+    """bytes -> DocIR with per-page fallback (reference document.py:270-283)
+    and the reference's page-range semantics (document.py:218-261):
+    start < 1 raises; end > page_count clamps; start > end raises.
+    In the Spark pipeline the same selection is a pushed-down
+    ``filter(col("page_number").between(lo, hi))`` on page rows."""
     pdf = parse_pdf(data)
+    n = len(pdf.pages)
+    if start_page < 1:
+        raise PageRangeError(f"Start page must be >= 1, got {start_page}")
+    end_page = n if end_page is None else min(end_page, n)
+    if start_page > end_page:
+        raise PageRangeError(
+            f"Start page ({start_page}) cannot be greater than "
+            f"end page ({end_page})")
     pages: list[PageIR] = []
-    for p in pdf.pages:
+    for p in pdf.pages[start_page - 1 : end_page]:
         try:
             pages.append(analyze_page(p))
         except Exception:

@@ -23,7 +23,7 @@ RIGHT = "RIGHT"
 JUSTIFY = "JUSTIFY"
 
 
-@dataclass
+@dataclass(slots=True)
 class BBox:
     """Axis-aligned box. The coordinate frame is contextual (SURVEY.md
     §1.4): text objects are top-left-origin y-down; detected tables are
@@ -70,7 +70,7 @@ def union_bbox(boxes: list[BBox]) -> BBox:
     )
 
 
-@dataclass
+@dataclass(slots=True)
 class SpanIR:
     """Reference output/models.py:159-172 (TextSpan + FontInfo)."""
 
@@ -83,7 +83,7 @@ class SpanIR:
     color: tuple[int, int, int] = (0, 0, 0)
 
 
-@dataclass
+@dataclass(slots=True)
 class LineIR:
     """Reference core/page.py:22-38 (RawLine)."""
 
@@ -96,7 +96,7 @@ class LineIR:
         return not self.text.strip()
 
 
-@dataclass
+@dataclass(slots=True)
 class BlockIR:
     """Reference core/page.py:41-62 (RawTextBlock)."""
 
@@ -114,7 +114,7 @@ class BlockIR:
         return not self.lines or all(ln.is_empty for ln in self.lines)
 
 
-@dataclass
+@dataclass(slots=True)
 class TextBlockIR:
     """Reference output/models.py:175-208 (TextBlock)."""
 
@@ -128,7 +128,7 @@ class TextBlockIR:
     column_index: int = 0
 
 
-@dataclass
+@dataclass(slots=True)
 class CellIR:
     """Reference output/models.py:211-239."""
 
@@ -170,7 +170,7 @@ class TableIR:
         )
 
 
-@dataclass
+@dataclass(slots=True)
 class ColumnIR:
     """Reference output/models.py:323-336."""
 

@@ -53,7 +53,8 @@ def spans_to_lines(spans: list[SpanIR]) -> list[LineIR]:
 
     groups: list[list[SpanIR]] = []
     cur: list[SpanIR] = [spans[order[0]]]
-    cur_bbox = BBox(**vars(spans[order[0]].bbox))
+    b0 = spans[order[0]].bbox
+    cur_bbox = BBox(b0.x0, b0.y0, b0.x1, b0.y1)
     for idx in order[1:]:
         s = spans[idx]
         if _vertically_overlaps(cur_bbox, s.bbox):
@@ -62,7 +63,7 @@ def spans_to_lines(spans: list[SpanIR]) -> list[LineIR]:
         else:
             groups.append(cur)
             cur = [s]
-            cur_bbox = BBox(**vars(s.bbox))
+            cur_bbox = BBox(s.bbox.x0, s.bbox.y0, s.bbox.x1, s.bbox.y1)
     groups.append(cur)
 
     lines: list[LineIR] = []

@@ -33,7 +33,7 @@ class PdfError(Exception):
     never a job abort."""
 
 
-@dataclass
+@dataclass(slots=True)
 class Span:
     text: str
     x0: float
@@ -47,7 +47,7 @@ class Span:
     color: tuple[int, int, int] = (0, 0, 0)
 
 
-@dataclass
+@dataclass(slots=True)
 class Segment:
     """A stroked line segment in top-left coords."""
 
@@ -243,8 +243,16 @@ class _Lexer:
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
+_XREF_ENTRY_RE = re.compile(rb"(\d{10}) (\d{5}) ([nf])")
+
+
 class _Doc:
-    """Parsed object store with lazy stream decoding."""
+    """Parsed object store with lazy stream decoding.
+
+    Object index comes from the xref table when intact (startxref ->
+    subsection walk, reference core/document.py relies on the library
+    doing this); falls back to a full byte scan like real-world repair
+    parsers when the xref is damaged."""
 
     def __init__(self, data: bytes):
         if not data:
@@ -252,15 +260,58 @@ class _Doc:
         if b"%PDF-" not in data[:1024]:
             raise PdfError("missing %PDF- header")
         self.data = data
-        # Full-scan object index (robust to broken xref, like real-world
-        # repair parsers; also covers our writer's well-formed files).
-        self.objs: dict[int, int] = {}
-        for m in _OBJ_RE.finditer(data):
-            self.objs[int(m.group(1))] = m.end()
+        self.objs: dict[int, int] = self._parse_xref() or self._scan_objects()
         if not self.objs:
             raise PdfError("no indirect objects found")
         self.trailer = self._find_trailer()
+        # Encrypted documents: reference core/document.py:109-123 attempts
+        # decryption with a password; we surface the error path (no
+        # password channel in the pages table).
+        if isinstance(self.trailer, dict) and "Encrypt" in self.trailer:
+            raise PdfError("document is encrypted (no password provided)")
         self._cache: dict[int, object] = {}
+
+    def _parse_xref(self) -> dict[int, int] | None:
+        """Classic xref table: startxref offset -> 'xref' subsections.
+        Returns object-number -> offset-AFTER-'obj' map, or None."""
+        tail = self.data[-256:]
+        m = re.search(rb"startxref\s+(\d+)", tail)
+        if not m:
+            return None
+        try:
+            pos = int(m.group(1))
+        except ValueError:
+            return None
+        if pos <= 0 or pos >= len(self.data):
+            return None
+        if self.data[pos : pos + 4] != b"xref":
+            return None  # xref stream (PDF 1.5+) or damage: fall back
+        objs: dict[int, int] = {}
+        i = pos + 4
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*", self.data[i : i + 40])
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            i += m.end()
+            for k in range(count):
+                e = _XREF_ENTRY_RE.match(self.data, i)
+                if not e:
+                    return None  # malformed entry: distrust whole table
+                i += 20
+                if e.group(3) == b"n":
+                    off = int(e.group(1))
+                    om = _OBJ_RE.match(self.data, off)
+                    if om is None or int(om.group(1)) != start + k:
+                        return None  # stale offset: fall back to scan
+                    objs[start + k] = om.end()
+        return objs or None
+
+    def _scan_objects(self) -> dict[int, int]:
+        objs: dict[int, int] = {}
+        for m in _OBJ_RE.finditer(self.data):
+            objs[int(m.group(1))] = m.end()
+        return objs
 
     def _find_trailer(self) -> dict:
         i = self.data.rfind(b"trailer")
@@ -330,6 +381,84 @@ class _Doc:
         return raw
 
 
+# -- font decoding: /Encoding /Differences + /ToUnicode CMaps ---------------
+
+# Minimal Adobe-glyph-list subset for /Differences fixtures/real files.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotesingle": "'", "quotedbl": '"',
+    "bullet": "•", "emdash": "—", "endash": "–",
+    "eacute": "é", "egrave": "è", "agrave": "à",
+    "ccedilla": "ç", "uumlaut": "ü", "udieresis": "ü",
+    "odieresis": "ö", "adieresis": "ä", "germandbls": "ß",
+    "Euro": "€", "copyright": "©", "degree": "°",
+    "plusminus": "±", "onehalf": "½", "ellipsis": "…",
+    "quoteright": "’", "quoteleft": "‘",
+    "quotedblleft": "“", "quotedblright": "”",
+}
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(
+    rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _parse_tounicode(cmap: bytes) -> dict[int, str]:
+    """bfchar/bfrange sections of a /ToUnicode CMap -> code -> str.
+    Supports 1-2 byte source codes and UTF-16BE destinations."""
+    out: dict[int, str] = {}
+
+    def _dst(hx: bytes) -> str:
+        raw = bytes.fromhex(hx.decode("ascii"))
+        if len(raw) % 2 == 0:
+            try:
+                return raw.decode("utf-16-be")
+            except UnicodeDecodeError:
+                pass
+        return raw.decode("latin-1")
+
+    for m in _BFCHAR_RE.finditer(cmap):
+        pairs = _HEXPAIR_RE.findall(m.group(1))
+        for src, dst in zip(pairs[0::2], pairs[1::2]):
+            out[int(src, 16)] = _dst(dst)
+    for m in _BFRANGE_RE.finditer(cmap):
+        trips = _HEXPAIR_RE.findall(m.group(1))
+        for lo, hi, dst in zip(trips[0::3], trips[1::3], trips[2::3]):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = int(dst, 16)
+            width = len(dst)
+            for c in range(lo_i, min(hi_i, lo_i + 255) + 1):
+                out[c] = _dst(b"%0*X" % (width, base + (c - lo_i)))
+    return out
+
+
+class FontDecode:
+    """Per-font byte -> text decoding: base latin-1, overridden by
+    /Encoding /Differences glyph names, overridden by /ToUnicode."""
+
+    __slots__ = ("base_font", "table")
+
+    def __init__(self, base_font: str,
+                 differences: dict[int, str] | None = None,
+                 to_unicode: dict[int, str] | None = None):
+        self.base_font = base_font
+        table: dict[int, str] | None = None
+        if differences:
+            table = {code: _GLYPH_NAMES.get(name, "�")
+                     for code, name in differences.items()}
+        if to_unicode:
+            table = dict(table or {})
+            table.update(to_unicode)
+        self.table = table
+
+    def decode(self, raw: str) -> str:
+        """raw is the latin-1-decoded byte string from the lexer."""
+        if self.table is None:
+            return raw
+        t = self.table
+        return "".join(t.get(ord(ch), ch) for ch in raw)
+
+
 # -- content-stream interpretation -------------------------------------------
 
 _CS_TOKEN = re.compile(
@@ -391,8 +520,11 @@ def _cs_tokens(data: bytes):
             yield ("op", tok.decode("latin-1"))
 
 
+_DEFAULT_DECODE = FontDecode("Helvetica")
+
+
 def _interpret(content: bytes, page: PdfPage,
-               font_map: dict[str, str]) -> None:
+               font_map: dict[str, FontDecode]) -> None:
     """Execute text/path operators, appending spans and segments to
     ``page``. Coordinates arrive in PDF space (bottom-left origin) and are
     emitted top-left (SURVEY.md §1.4)."""
@@ -412,12 +544,17 @@ def _interpret(content: bytes, page: PdfPage,
     pending: list[Segment] = []
 
     def show(s: str, at_x: float, at_y: float) -> float:
-        base = font_map.get(font_id, "Helvetica")
+        fd = font_map.get(font_id, _DEFAULT_DECODE)
+        if isinstance(fd, str):  # convenience for direct _interpret use
+            fd = FontDecode(fd)
+        base = fd.base_font
+        # glyph advance comes from the RAW byte codes; the emitted text is
+        # the CMap/Differences-decoded string
         w = fonts.text_width(s, base, size, tc, tw)
         if s:
             _, asc, desc = fonts.metrics(base)
             page.spans.append(Span(
-                text=s,
+                text=fd.decode(s),
                 x0=at_x,
                 y0=H - (at_y + asc * size),
                 x1=at_x + w,
@@ -555,17 +692,37 @@ def parse_pdf(data: bytes) -> PdfFile:
         height = float(doc.obj(mb[3]) - doc.obj(mb[1]))
         page = PdfPage(number=idx, width=width, height=height)
 
-        font_map: dict[str, str] = {}
+        font_map: dict[str, FontDecode] = {}
         res = doc.obj(pnode.get("Resources"))
         if isinstance(res, dict):
             fdict = doc.obj(res.get("Font"))
             if isinstance(fdict, dict):
                 for fid, fref in fdict.items():
                     fobj = doc.obj(fref)
-                    if isinstance(fobj, dict):
-                        base = fobj.get("BaseFont")
-                        if isinstance(base, str):
-                            font_map[fid] = base
+                    if not isinstance(fobj, dict):
+                        continue
+                    base = fobj.get("BaseFont")
+                    if not isinstance(base, str):
+                        continue
+                    diffs: dict[int, str] = {}
+                    enc = doc.obj(fobj.get("Encoding"))
+                    if isinstance(enc, dict):
+                        code = 0
+                        for item in doc.obj(enc.get("Differences")) or []:
+                            if isinstance(item, (int, float)):
+                                code = int(item)
+                            elif isinstance(item, str):
+                                diffs[code] = item
+                                code += 1
+                    to_uni: dict[int, str] = {}
+                    tu_ref = fobj.get("ToUnicode")
+                    if isinstance(tu_ref, Ref):
+                        try:
+                            to_uni = _parse_tounicode(doc.stream(tu_ref))
+                        except PdfError:
+                            to_uni = {}
+                    font_map[fid] = FontDecode(base, diffs or None,
+                                               to_uni or None)
 
         contents = pnode.get("Contents")
         content_refs = (doc.obj(contents)

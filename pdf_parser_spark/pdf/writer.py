@@ -96,9 +96,33 @@ def _content(page: Page) -> bytes:
     return b"\n".join(parts)
 
 
+def _tounicode_cmap(mapping: dict[int, str]) -> bytes:
+    """Minimal /ToUnicode CMap stream body (bfchar entries)."""
+    entries = b"\n".join(
+        b"<%02X> <%s>" % (code, "".join(
+            f"{ord(ch):04X}" for ch in dst).encode())
+        for code, dst in sorted(mapping.items())
+    )
+    return (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"%d beginbfchar\n%s\nendbfchar\nendcmap\n"
+        b"CMapName currentdict /CMap defineresource pop\nend\nend"
+        % (len(mapping), entries)
+    )
+
+
 def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
-              compress: bool = True) -> bytes:
-    """Assemble a complete PDF byte stream with a correct xref table."""
+              compress: bool = True,
+              tounicode: dict[str, dict[int, str]] | None = None,
+              differences: dict[str, dict[int, str]] | None = None) -> bytes:
+    """Assemble a complete PDF byte stream with a correct xref table.
+
+    ``tounicode``  : font-id -> {byte code -> unicode str} (/ToUnicode CMap)
+    ``differences``: font-id -> {byte code -> glyph name} (/Encoding)"""
+    tounicode = tounicode or {}
+    differences = differences or {}
     objs: list[bytes] = []  # 1-indexed object bodies (dict part only)
 
     n_pages = len(pages)
@@ -128,11 +152,31 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
         objs.append(b"<< /Length %d%s >>" % (len(data), filt))
         streams[content_num] = data
 
+    tu_obj_nums: dict[str, int] = {}
+    n_fonts = len(FONT_IDS)
+    next_obj = font_obj_base + n_fonts
+    for fid in tounicode:
+        tu_obj_nums[fid] = next_obj
+        next_obj += 1
+
     for fid, base in FONT_IDS.items():
-        objs.append(
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /%s /Name /%s >>"
-            % (base.encode(), fid.encode())
-        )
+        body = (b"<< /Type /Font /Subtype /Type1 /BaseFont /%s /Name /%s"
+                % (base.encode(), fid.encode()))
+        if fid in differences:
+            diff_items = []
+            for code in sorted(differences[fid]):
+                diff_items.append(b"%d /%s"
+                                  % (code, differences[fid][code].encode()))
+            body += (b" /Encoding << /Type /Encoding /Differences [%s] >>"
+                     % b" ".join(diff_items))
+        if fid in tu_obj_nums:
+            body += b" /ToUnicode %d 0 R" % tu_obj_nums[fid]
+        objs.append(body + b" >>")
+
+    for fid, mapping in tounicode.items():
+        data = _tounicode_cmap(mapping)
+        objs.append(b"<< /Length %d >>" % len(data))
+        streams[len(objs)] = data
 
     info_num = None
     if info:

@@ -1,0 +1,32 @@
+"""Driver-contract invariants for __spark_entry__ (no Spark needed)."""
+
+import __spark_entry__ as em
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = set(em.queries())
+    os_ = set(em.oracle_sql())
+    assert os_ <= qs, os_ - qs
+
+
+def test_rows_only_queries_documented():
+    # queries without oracles must be the documented non-SQL-expressible
+    # set only (driver records weaker checks for these)
+    rows_only = set(em.queries()) - set(em.oracle_sql())
+    assert rows_only == {"ann_lsh_topk", "media_features"}
+
+
+def test_oracle_sql_is_runnable_duckdb():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')")
+    for name, sql in em.oracle_sql().items():
+        try:
+            con.execute(f"SELECT * FROM ({sql}) LIMIT 1").fetchall()
+        except Exception as e:  # pragma: no cover
+            raise AssertionError(f"oracle for {name} failed: {e}") from e

@@ -1,0 +1,78 @@
+"""Advanced tokenizer features: xref-table parsing, encryption error
+path, /ToUnicode CMap + /Encoding /Differences decoding, page ranges."""
+
+import pytest
+
+from pdf_parser_spark.extractor import (
+    PageRangeError, parse_pdf_document,
+)
+from pdf_parser_spark.pdf.tokenizer import (
+    PdfError, _parse_tounicode, parse_pdf,
+)
+from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+
+def test_xref_path_used():
+    """Well-formed writer output parses via the xref table (offsets all
+    validated); corrupting the table falls back to the scan."""
+    data = build_pdf([Page(texts=[Text(72, 700, "via xref")])])
+    f = parse_pdf(data)
+    assert f.pages[0].spans[0].text == "via xref"
+    # corrupt startxref offset -> scan fallback still parses
+    broken = data.replace(b"startxref", b"startxrEf")
+    f2 = parse_pdf(broken)
+    assert f2.pages[0].spans[0].text == "via xref"
+
+
+def test_stale_xref_falls_back():
+    data = build_pdf([Page(texts=[Text(72, 700, "stale")])])
+    # shift every object by injecting bytes after the header, making all
+    # xref offsets stale
+    broken = data.replace(b"%PDF-1.4\n", b"%PDF-1.4\n% padding comment\n")
+    f = parse_pdf(broken)
+    assert f.pages[0].spans[0].text == "stale"
+
+
+def test_encrypted_doc_errors():
+    data = build_pdf([Page(texts=[Text(72, 700, "secret")])])
+    broken = data.replace(b"/Size", b"/Encrypt 1 0 R /Size")
+    with pytest.raises(PdfError, match="encrypted"):
+        parse_pdf(broken)
+
+
+def test_tounicode_decoding():
+    # byte 0x80 shown in the stream maps to the euro sign via CMap
+    data = build_pdf(
+        [Page(texts=[Text(72, 700, "price \x80 only", "F1", 12)])],
+        tounicode={"F1": {0x80: "€", ord("p"): "P"}})
+    span = parse_pdf(data).pages[0].spans[0]
+    assert span.text == "Price € only"  # 'p'->P, 0x80->euro
+
+
+def test_differences_decoding():
+    data = build_pdf(
+        [Page(texts=[Text(72, 700, "caf\x82 meal", "F1", 12)])],
+        differences={"F1": {0x82: "eacute"}})
+    span = parse_pdf(data).pages[0].spans[0]
+    assert span.text == "café meal"
+
+
+def test_parse_tounicode_bfrange():
+    cmap = (b"1 beginbfrange\n<41> <43> <0061>\nendbfrange\n"
+            b"1 beginbfchar\n<20> <0020>\nendbfchar")
+    m = _parse_tounicode(cmap)
+    assert m[0x41] == "a" and m[0x42] == "b" and m[0x43] == "c"
+    assert m[0x20] == " "
+
+
+def test_page_range_semantics():
+    data = build_pdf([
+        Page(texts=[Text(72, 700, f"page {i}")]) for i in (1, 2, 3)
+    ])
+    # clamp end beyond count (reference document.py:250-255)
+    doc = parse_pdf_document("u", data, start_page=2, end_page=99)
+    assert [p.page_number for p in doc.pages] == [2, 3]
+    with pytest.raises(PageRangeError):
+        parse_pdf_document("u", data, start_page=0)
+    with pytest.raises(PageRangeError):
+        parse_pdf_document("u", data, start_page=3, end_page=2)
