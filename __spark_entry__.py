@@ -189,6 +189,15 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                dim=64, k=10)
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup family; exact pairwise at
+    oracle scale, LSH-bucketed variant covered by tests)."""
+    from pdf_parser_spark.analytics import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.embedding_near_duplicates(emb, threshold=0.45)
+
+
 def _q_lang_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.analytics import text as T
 
@@ -337,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "dedup_embedding_cosine": _q_embedding_neardup,
         "lang_features": _q_lang_features,
         "quality_features": _q_quality,
         "bpe_token_counts": _q_bpe_tokens,
@@ -515,6 +525,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT q_id, neighbor_id, cos, row_number() OVER "
             "(PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank "
             "FROM scored) WHERE rank <= 10"
+        ),
+        "dedup_embedding_cosine": (
+            "SELECT vec_a, vec_b, cosine FROM ("
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("
+            "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+            "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+            "(sqrt(list_sum(list_transform(a.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+            "sqrt(list_sum(list_transform(b.embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine "
+            "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id"
+            ") WHERE cosine >= 0.45"
         ),
         "lang_features": (
             f"SELECT doc_id, {hits_cols}, {guess_case} AS lang_guess "
