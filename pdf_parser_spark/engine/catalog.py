@@ -1,0 +1,120 @@
+"""Minimal snapshot catalog over parquet — Iceberg-table emulation
+(SURVEY.md §7.0: no Iceberg jar and no network in this sandbox; this
+module is the single seam where a real Iceberg catalog drops in via
+``--packages`` on a cluster).
+
+Layout under ``table_dir``:
+  data/<snapshot_id>-<n>.parquet ...   immutable data files
+  snapshots/<seq>-<snapshot_id>.json   manifest: file list (+ parent)
+
+Semantics mirrored from Iceberg:
+  * append  -> new snapshot = parent files + new files
+  * overwrite -> new snapshot = new files only
+  * reads are snapshot-isolated: a reader pins one manifest's file list;
+    concurrent appends never change what it sees
+  * time travel: read any historical snapshot id
+The commit point is the atomic rename of the manifest json (same
+manifest-last discipline as engine.checkpoint).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _snapshots(table_dir: str) -> list[tuple[int, str, str]]:
+    """Sorted (seq, snapshot_id, path)."""
+    sdir = os.path.join(table_dir, "snapshots")
+    if not os.path.isdir(sdir):
+        return []
+    out = []
+    for name in os.listdir(sdir):
+        if not name.endswith(".json"):
+            continue
+        seq_s, snap = name[:-5].split("-", 1)
+        out.append((int(seq_s), snap, os.path.join(sdir, name)))
+    return sorted(out)
+
+
+def current_snapshot(table_dir: str) -> str | None:
+    snaps = _snapshots(table_dir)
+    return snaps[-1][1] if snaps else None
+
+
+def _manifest(table_dir: str, snapshot_id: str) -> dict:
+    for _, snap, path in _snapshots(table_dir):
+        if snap == snapshot_id:
+            with open(path) as f:
+                return json.load(f)
+    raise FileNotFoundError(
+        f"snapshot {snapshot_id!r} not found in {table_dir}")
+
+
+def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
+    """Write df as a new snapshot; returns the new snapshot id."""
+    assert mode in ("append", "overwrite")
+    snap_id = uuid.uuid4().hex[:12]
+    data_dir = os.path.join(table_dir, "data")
+    staging = os.path.join(table_dir, f"_staging_{snap_id}")
+    df.write.mode("overwrite").parquet(staging)
+    os.makedirs(data_dir, exist_ok=True)
+    new_files = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"{snap_id}-{name}"
+            os.rename(os.path.join(staging, name),
+                      os.path.join(data_dir, dst))
+            new_files.append(dst)
+    # clean staging remnants (_SUCCESS etc.)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+
+    snaps = _snapshots(table_dir)
+    seq = snaps[-1][0] + 1 if snaps else 1
+    parent_files: list[str] = []
+    parent_id = None
+    if mode == "append" and snaps:
+        parent_id = snaps[-1][1]
+        parent_files = _manifest(table_dir, parent_id)["files"]
+
+    sdir = os.path.join(table_dir, "snapshots")
+    os.makedirs(sdir, exist_ok=True)
+    manifest = {
+        "snapshot_id": snap_id,
+        "sequence": seq,
+        "parent": parent_id,
+        "operation": mode,
+        "files": parent_files + new_files,
+    }
+    tmp = os.path.join(sdir, f".tmp-{snap_id}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(sdir, f"{seq}-{snap_id}.json"))  # COMMIT
+    return snap_id
+
+
+def read_snapshot(spark: SparkSession, table_dir: str,
+                  snapshot_id: str | None = None) -> DataFrame:
+    """Snapshot-isolated read (defaults to the current snapshot)."""
+    if snapshot_id is None:
+        snapshot_id = current_snapshot(table_dir)
+        if snapshot_id is None:
+            raise FileNotFoundError(f"no snapshots in {table_dir}")
+    files = _manifest(table_dir, snapshot_id)["files"]
+    paths = [os.path.join(table_dir, "data", f) for f in files]
+    return spark.read.parquet(*paths)
+
+
+def history(table_dir: str) -> list[dict]:
+    return [
+        {"sequence": seq, "snapshot_id": snap,
+         **{k: v for k, v in _manifest(table_dir, snap).items()
+            if k in ("operation", "parent")},
+         "n_files": len(_manifest(table_dir, snap)["files"])}
+        for seq, snap, _ in _snapshots(table_dir)
+    ]

@@ -164,12 +164,64 @@ def _texts(node: _Node, in_anchor: bool,
             _texts(ch, in_anchor or ch.tag == "a", out)
 
 
+def _table_to_ascii(table_node: _Node) -> str:
+    """HTML <table> -> the SAME TableIR -> ASCII pipeline the PDF path
+    uses (render/ascii_table T4), so tables from both source formats
+    render with identical bytes. Header detection: <th> cells or a
+    <thead> row."""
+    from ..layout.ir import BBox, CellIR, TableIR
+    from ..render import ascii_table
+
+    rows: list[list[tuple[str, str]]] = []  # (tag, text)
+
+    def find_rows(n: _Node) -> None:
+        for ch in n.children:
+            if ch.tag == "tr":
+                cells: list[tuple[str, str]] = []
+                for cc in ch.children:
+                    if cc.tag in ("td", "th"):
+                        pieces: list[tuple[str, bool]] = []
+                        _texts(cc, False, pieces)
+                        txt = _WS_RE.sub(
+                            " ", "".join(p for p, _ in pieces)).strip()
+                        cells.append((cc.tag, txt))
+                if cells:
+                    rows.append(cells)
+            elif ch.tag in ("thead", "tbody", "tfoot"):
+                find_rows(ch)
+
+    find_rows(table_node)
+    if len(rows) < 2:
+        return ""
+    num_cols = max(len(r) for r in rows)
+    if num_cols < 2:
+        return ""
+    has_header = all(tag == "th" for tag, _ in rows[0])
+    cells = [
+        CellIR(text=txt, bbox=BBox(ci, ri, ci + 1, ri + 1),
+               row=ri, col=ci, is_header=(ri == 0))
+        for ri, row in enumerate(rows)
+        for ci, (tag, txt) in enumerate(row)
+    ]
+    t = TableIR(cells=cells, bbox=BBox(0, 0, num_cols, len(rows)),
+                num_rows=len(rows), num_cols=num_cols,
+                has_header=has_header)
+    return ascii_table.convert(t)
+
+
 def _walk_blocks(node: _Node, out: list[tuple[str, str, float]]) -> None:
     """Emit (tag, text, link_density) for each block element that has
-    direct inline content; recurse into nested blocks in document order."""
+    direct inline content; recurse into nested blocks in document order.
+    <table> elements are rendered whole (ASCII) and not recursed."""
     for ch in node.children:
         if ch.tag in HTML.drop_tags:
             continue
+        if ch.tag == "table":
+            ascii_repr = _table_to_ascii(ch)
+            if ascii_repr:
+                out.append(("table", ascii_repr, 0.0))
+                continue
+            # degenerate table: fall through to plain text handling
         if ch.tag == "" or ch.tag not in HTML.block_tags:
             if ch.tag:
                 _walk_blocks(ch, out)

@@ -91,3 +91,35 @@ def test_fast_is_faster(documents_pdf):
         extract_html(b, fast=True)
     fast = time.perf_counter() - t0
     assert fast < slow
+
+
+def test_html_table_renders_ascii():
+    html = (b"<html><body>"
+            b"<p>Intro paragraph long enough to be kept around here.</p>"
+            b"<table><tr><th>NAME</th><th>QTY</th></tr>"
+            b"<tr><td>widget</td><td>100</td></tr>"
+            b"<tr><td>gadget</td><td>250</td></tr></table>"
+            b"</body></html>")
+    res = extract_html(html)
+    assert "+--------+-----+" in res["text"]
+    assert "| NAME   | QTY |" in res["text"]
+    assert "| widget | 100 |" in res["text"]
+    # header separator after th row: 3 '+' lines total
+    assert sum(1 for ln in res["text"].split("\n")
+               if ln.startswith("+")) == 3
+    assert "Intro paragraph" in res["text"]
+
+
+def test_html_table_thead_tbody():
+    html = (b"<table><thead><tr><th>A</th><th>B</th></tr></thead>"
+            b"<tbody><tr><td>1</td><td>2</td></tr></tbody></table>")
+    res = extract_html(html)
+    assert "| A   | B   |" in res["text"]
+
+
+def test_degenerate_html_table_falls_back_to_text():
+    html = (b"<table><tr><td>only one cell with enough text to keep"
+            b"</td></tr></table>")
+    res = extract_html(html)
+    assert "only one cell" in res["text"]
+    assert "+" not in res["text"]
