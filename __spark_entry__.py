@@ -270,6 +270,28 @@ def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace("body", r"\s+", " ")).alias("body"))
 
 
+def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data pipeline capstone: exact-dedup survivors that pass
+    quality gates, with language and token budget — the composed
+    dedup -> quality -> lang-id filter a 100 TB corpus run applies."""
+    from pdf_parser_spark.analytics import dedup, text as T
+
+    docs = _docs(spark, sf_dir)
+    canon = (dedup.exact_duplicates(docs)
+             .select(F.col("canonical_doc_id").alias("doc_id")))
+    q = T.quality_features(docs).select(
+        "doc_id", "n_tokens", "quality_score")
+    lf = T.lang_features(docs).select("doc_id", "lang_guess")
+    return (docs.select("doc_id", "lang")
+            .join(canon, "doc_id")            # dedup survivors
+            .join(q, "doc_id")
+            .join(lf, "doc_id")
+            .where((F.col("quality_score") >= 0.5)
+                   & (F.col("n_tokens") >= 20))
+            .select("doc_id", "lang", "lang_guess", "n_tokens",
+                    F.round("quality_score", 6).alias("quality_score")))
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (partial+final agg, decimal-exact sums)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -353,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "extract_markdown_roundtrip": _q_extract_markdown,
+        "corpus_filter": _q_corpus_filter,
         "tpch_q1": _q_tpch_q1,
         "top_customers_by_nation": _q_top_customers,
         "sessionize_events": _q_sessionize,
@@ -569,6 +592,36 @@ def oracle_sql() -> dict[str, str]:
             _sql_shingle_hash_cte(8)
             + " SELECT doc_id, CAST(list_min(s) AS BIGINT) AS fp_min, "
             "CAST(list_max(s) AS BIGINT) AS fp_max FROM sh"
+        ),
+        "corpus_filter": (
+            "WITH canon AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(text)), "
+            f"q AS (SELECT doc_id, n_tokens, round("
+            "least(n_tokens / 100.0, 1.0) * 0.4 "
+            "+ least(stopword_hits / greatest(n_tokens, 1) * 10.0, 1.0) "
+            "* 0.3 + (1.0 - least(punct_chars / greatest(n_chars, 1) "
+            "* 5.0, 1.0)) * 0.3, 6) AS quality_score FROM ("
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens, "
+            f"len(list_filter({_TOKS}, "
+            f"t -> t IN {_LANG_MARKERS_SQL['en']})) AS stopword_hits, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', "
+            "'g')) AS punct_chars, length(text) AS n_chars "
+            "FROM documents)), "
+            f"lf AS (SELECT doc_id, {guess_case} AS lang_guess FROM ("
+            "SELECT doc_id, "
+            + ", ".join(
+                f"len(list_filter({_TOKS}, t -> t IN {w})) AS hits_{lang}"
+                for lang, w in _LANG_MARKERS_SQL.items())
+            + ", greatest("
+            + ", ".join(
+                f"len(list_filter({_TOKS}, t -> t IN {w}))"
+                for w in _LANG_MARKERS_SQL.values())
+            + ") AS g FROM documents)) "
+            "SELECT d.doc_id, d.lang, lf.lang_guess, q.n_tokens, "
+            "q.quality_score FROM documents d "
+            "JOIN canon USING (doc_id) JOIN q USING (doc_id) "
+            "JOIN lf USING (doc_id) "
+            "WHERE q.quality_score >= 0.5 AND q.n_tokens >= 20"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
