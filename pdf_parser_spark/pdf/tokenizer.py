@@ -532,10 +532,17 @@ def _interpret(content: bytes, page: PdfPage,
     # text state
     font_id = next(iter(font_map), "F1")
     size = 12.0
-    tx = ty = 0.0           # current text position (PDF coords)
-    lx = ly = 0.0           # line start
+    tx = ty = 0.0           # current text position (text space)
+    lx = ly = 0.0           # line start (text space)
     leading = 0.0
     tc = tw = 0.0
+    # text matrix (Tm), scale+translate only — rotated/skewed text is out
+    # of scope for the layout algebra (bboxes would need polygon support)
+    ta = td_ = 1.0
+    te = tf = 0.0
+    # graphics state: CTM as (a, d, e, f) with b=c=0, q/Q stack
+    ca, cd, ce, cf = 1.0, 1.0, 0.0, 0.0
+    gs_stack: list[tuple[float, float, float, float]] = []
     stack: list = []        # operand stack
     in_array: list | None = None
     # path state
@@ -544,6 +551,8 @@ def _interpret(content: bytes, page: PdfPage,
     pending: list[Segment] = []
 
     def show(s: str, at_x: float, at_y: float) -> float:
+        """Emit a span for text at (at_x, at_y) in TEXT space; returns the
+        text-space advance."""
         fd = font_map.get(font_id, _DEFAULT_DECODE)
         if isinstance(fd, str):  # convenience for direct _interpret use
             fd = FontDecode(fd)
@@ -553,21 +562,27 @@ def _interpret(content: bytes, page: PdfPage,
         w = fonts.text_width(s, base, size, tc, tw)
         if s:
             _, asc, desc = fonts.metrics(base)
+            sx = ta * ca            # effective horizontal scale
+            sy = td_ * cd           # effective vertical scale
+            dev_x = ca * (ta * at_x + te) + ce
+            dev_y = cd * (td_ * at_y + tf) + cf
+            eff_size = size * sy
             page.spans.append(Span(
                 text=fd.decode(s),
-                x0=at_x,
-                y0=H - (at_y + asc * size),
-                x1=at_x + w,
-                y1=H - (at_y + desc * size),
+                x0=dev_x,
+                y0=H - (dev_y + asc * eff_size),
+                x1=dev_x + w * sx,
+                y1=H - (dev_y + desc * eff_size),
                 font=base,
-                size=size,
+                size=eff_size,
                 bold=fonts.is_bold(base),
                 italic=fonts.is_italic(base),
             ))
         return w
 
     def seg(x0: float, y0: float, x1: float, y1: float) -> None:
-        subpath.append(Segment(x0, H - y0, x1, H - y1))
+        subpath.append(Segment(ca * x0 + ce, H - (cd * y0 + cf),
+                               ca * x1 + ce, H - (cd * y1 + cf)))
 
     for kind, val in _cs_tokens(content):
         if in_array is not None:
@@ -599,12 +614,15 @@ def _interpret(content: bytes, page: PdfPage,
                 ly += float(stack[-1][1])
                 tx, ty = lx, ly
             elif op == "Tm" and len(stack) >= 6:
-                lx = float(stack[-2][1])
-                ly = float(stack[-1][1])
+                # scale+translate components; b/c (rotation/skew) dropped
+                ta = float(stack[-6][1]) or 1.0
+                td_ = float(stack[-3][1]) or 1.0
+                te = float(stack[-2][1])
+                tf = float(stack[-1][1])
+                lx = ly = 0.0
                 tx, ty = lx, ly
             elif op == "T*":
                 ly -= leading
-                lx = lx
                 tx, ty = lx, ly
             elif op == "TL" and stack:
                 leading = float(stack[-1][1])
@@ -614,6 +632,23 @@ def _interpret(content: bytes, page: PdfPage,
                 tw = float(stack[-1][1])
             elif op == "BT":
                 tx = ty = lx = ly = 0.0
+                ta = td_ = 1.0
+                te = tf = 0.0
+            elif op == "q":
+                gs_stack.append((ca, cd, ce, cf))
+            elif op == "Q":
+                if gs_stack:
+                    ca, cd, ce, cf = gs_stack.pop()
+            elif op == "cm" and len(stack) >= 6:
+                # CTM' = M x CTM (b/c dropped): device p = ctm(m(p))
+                ma = float(stack[-6][1]) or 1.0
+                md = float(stack[-3][1]) or 1.0
+                me = float(stack[-2][1])
+                mf = float(stack[-1][1])
+                ce = ca * me + ce
+                cf = cd * mf + cf
+                ca *= ma
+                cd *= md
             elif op == "Tj" and stack:
                 tx += show(str(stack[-1][1]), tx, ty)
             elif op == "'" and stack:

@@ -76,3 +76,46 @@ def test_page_range_semantics():
         parse_pdf_document("u", data, start_page=0)
     with pytest.raises(PageRangeError):
         parse_pdf_document("u", data, start_page=3, end_page=2)
+
+
+def test_cm_translate_and_scale():
+    """Text positioned via cm (graphics transform) instead of Td."""
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = (b"q 2 0 0 2 100 50 cm "
+           b"BT /F1 12 Tf 10 20 Td (scaled) Tj ET Q "
+           b"BT /F1 12 Tf 10 20 Td (plain) Tj ET")
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {"F1": "Helvetica"})
+    scaled, plain = pg.spans
+    # device origin: 2*10+100=120, 2*20+50=90; effective size 24
+    assert scaled.x0 == 120
+    assert scaled.size == 24
+    assert scaled.y1 - scaled.y0 == pytest.approx(0.925 * 24)
+    # after Q the CTM is restored
+    assert plain.x0 == 10 and plain.size == 12
+    # advance scales: width(scaled) = 2 x width at 12pt... (size also x2)
+    from pdf_parser_spark.pdf import fonts
+    assert scaled.x1 - scaled.x0 == pytest.approx(
+        2 * fonts.text_width("scaled", "Helvetica", 12))
+
+
+def test_tm_scale():
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = b"BT /F1 10 Tf 1.5 0 0 1.5 72 700 Tm (big) Tj ET"
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {"F1": "Helvetica"})
+    (s,) = pg.spans
+    assert s.x0 == 72 and s.size == 15.0
+
+
+def test_cm_transforms_rules():
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = b"q 1 0 0 1 50 100 cm 0 0 m 10 0 l S Q"
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {})
+    (seg,) = pg.segments
+    assert (seg.x0, seg.x1) == (50, 60)
+    assert seg.y0 == 792 - 100
