@@ -260,10 +260,16 @@ class _Doc:
         if b"%PDF-" not in data[:1024]:
             raise PdfError("missing %PDF- header")
         self.data = data
-        self.objs: dict[int, int] = self._parse_xref() or self._scan_objects()
-        if not self.objs:
+        # objects living inside /Type /ObjStm streams: num -> (stm_num, idx)
+        self.compressed: dict[int, tuple[int, int]] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._xref_trailer: dict | None = None
+        self.objs: dict[int, int] = (self._parse_xref()
+                                     or self._parse_xref_stream()
+                                     or self._scan_objects())
+        if not self.objs and not self.compressed:
             raise PdfError("no indirect objects found")
-        self.trailer = self._find_trailer()
+        self.trailer = self._xref_trailer or self._find_trailer()
         # Encrypted documents: reference core/document.py:109-123 attempts
         # decryption with a password; we surface the error path (no
         # password channel in the pages table).
@@ -307,6 +313,137 @@ class _Doc:
                     objs[start + k] = om.end()
         return objs or None
 
+    def _parse_xref_stream(self) -> dict[int, int] | None:
+        """PDF 1.5+ cross-reference STREAM (/Type /XRef): binary entry
+        rows of /W-sized fields; type-2 entries point into /Type /ObjStm
+        object streams. Follows /Prev chains."""
+        tail = self.data[-256:]
+        m = re.search(rb"startxref\s+(\d+)", tail)
+        if not m:
+            return None
+        objs: dict[int, int] = {}
+        pos = int(m.group(1))
+        seen: set[int] = set()
+        while pos and pos not in seen and 0 < pos < len(self.data):
+            seen.add(pos)
+            om = _OBJ_RE.match(self.data, pos)
+            if not om:
+                return None
+            lex = _Lexer(self.data, om.end())
+            try:
+                d = lex.parse()
+            except PdfError:
+                return None
+            if not isinstance(d, dict) or d.get("Type") != "XRef":
+                return None
+            if self._xref_trailer is None:
+                self._xref_trailer = d
+            try:
+                raw = self._stream_at(om.end(), d)
+            except PdfError:
+                return None
+            w = d.get("W")
+            if not (isinstance(w, list) and len(w) >= 3):
+                return None
+            w0, w1, w2 = (int(x) for x in w[:3])
+            size = int(d.get("Size", 0))
+            index = d.get("Index") or [0, size]
+            entry_len = w0 + w1 + w2
+            off = 0
+
+            def field(buf: bytes, start: int, width: int,
+                      default: int) -> int:
+                if width == 0:
+                    return default
+                return int.from_bytes(buf[start : start + width], "big")
+
+            for k in range(0, len(index) - 1, 2):
+                first, count = int(index[k]), int(index[k + 1])
+                for i in range(count):
+                    if off + entry_len > len(raw):
+                        break
+                    typ = field(raw, off, w0, 1)
+                    f2 = field(raw, off + w0, w1, 0)
+                    f3 = field(raw, off + w0 + w1, w2, 0)
+                    num = first + i
+                    off += entry_len
+                    if num in objs or num in self.compressed:
+                        continue  # newest xref section wins
+                    if typ == 1:
+                        am = _OBJ_RE.match(self.data, f2)
+                        if am and int(am.group(1)) == num:
+                            objs[num] = am.end()
+                    elif typ == 2:
+                        self.compressed[num] = (f2, f3)
+            prev = d.get("Prev")
+            pos = int(prev) if isinstance(prev, (int, float)) else 0
+        return objs or (dict() if self.compressed else None)
+
+    def _stream_at(self, dict_pos: int, d: dict) -> bytes:
+        """Decode the stream whose dict starts at ``dict_pos`` (already
+        parsed as ``d``)."""
+        lex = _Lexer(self.data, dict_pos)
+        lex.parse()  # skip past the dict
+        lex._skip_ws()
+        if self.data[lex.i : lex.i + 6] != b"stream":
+            raise PdfError("expected 'stream' keyword")
+        i = lex.i + 6
+        if self.data[i : i + 2] == b"\r\n":
+            i += 2
+        elif self.data[i : i + 1] in (b"\n", b"\r"):
+            i += 1
+        length = d.get("Length")
+        if isinstance(length, Ref):
+            length = None  # resolving here could recurse; use endstream
+        if isinstance(length, (int, float)):
+            raw = self.data[i : i + int(length)]
+        else:
+            j = self.data.find(b"endstream", i)
+            if j < 0:
+                raise PdfError("unterminated stream")
+            raw = self.data[i:j].rstrip(b"\r\n")
+        filt = d.get("Filter")
+        filters = [filt] if isinstance(filt, str) else (filt or [])
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    raw = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise PdfError(f"FlateDecode failed: {e}") from e
+            else:
+                raise PdfError(f"unsupported filter {f!r}")
+        return raw
+
+    def _load_objstm(self, stm_num: int) -> dict[int, object]:
+        """Parse a /Type /ObjStm: header of (objnum, offset) pairs, then
+        the serialized objects at /First + offset."""
+        if stm_num in self._objstm_cache:
+            return self._objstm_cache[stm_num]
+        pos = self.objs.get(stm_num)
+        if pos is None:
+            raise PdfError(f"object stream {stm_num} missing")
+        lex = _Lexer(self.data, pos)
+        d = lex.parse()
+        if not isinstance(d, dict) or d.get("Type") != "ObjStm":
+            raise PdfError(f"object {stm_num} is not an ObjStm")
+        raw = self._stream_at(pos, d)
+        n = int(self.obj(d.get("N")) or 0)
+        first = int(self.obj(d.get("First")) or 0)
+        header = _Lexer(raw[:first])
+        out: dict[int, object] = {}
+        pairs = []
+        for _ in range(n):
+            num = header.parse()
+            off = header.parse()
+            pairs.append((int(num), int(off)))
+        for num, off in pairs:
+            try:
+                out[num] = _Lexer(raw, first + off).parse()
+            except PdfError:
+                out[num] = None
+        self._objstm_cache[stm_num] = out
+        return out
+
     def _scan_objects(self) -> dict[int, int]:
         objs: dict[int, int] = {}
         for m in _OBJ_RE.finditer(self.data):
@@ -326,14 +463,23 @@ class _Doc:
         return {}
 
     def obj(self, ref):
-        """Resolve an object (follows one level of indirection)."""
+        """Resolve an object (follows one level of indirection; objects
+        inside /Type /ObjStm streams resolved transparently)."""
         if isinstance(ref, Ref):
             num = ref[0]
             if num in self._cache:
                 return self._cache[num]
             pos = self.objs.get(num)
             if pos is None:
-                return None
+                loc = self.compressed.get(num)
+                if loc is None:
+                    return None
+                try:
+                    val = self._load_objstm(loc[0]).get(num)
+                except PdfError:
+                    val = None
+                self._cache[num] = val
+                return val
             val = _Lexer(self.data, pos).parse()
             self._cache[num] = val
             return val
@@ -700,13 +846,19 @@ def parse_pdf(data: bytes) -> PdfFile:
     pages_node = doc.obj(root.get("Pages")) if isinstance(root, dict) else None
     page_refs: list = []
 
-    def walk(node, depth: int = 0) -> None:
+    def walk(node, depth: int = 0, inherited_mb=None) -> None:
+        """Page-tree walk with MediaBox attribute inheritance (PDF spec
+        §7.7.3.4: Page inherits MediaBox/Resources from Pages parents)."""
         if not isinstance(node, dict) or depth > 32:
             return
+        mb = node.get("MediaBox", inherited_mb)
         if node.get("Type") == "Pages" or "Kids" in node:
             for kid in doc.obj(node.get("Kids")) or []:
-                walk(doc.obj(kid), depth + 1)
+                walk(doc.obj(kid), depth + 1, mb)
         elif node.get("Type") == "Page" or "Contents" in node:
+            if "MediaBox" not in node and mb is not None:
+                node = dict(node)
+                node["MediaBox"] = mb
             page_refs.append(node)
 
     if pages_node is not None:

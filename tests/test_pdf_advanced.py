@@ -119,3 +119,89 @@ def test_cm_transforms_rules():
     (seg,) = pg.segments
     assert (seg.x0, seg.x1) == (50, 60)
     assert seg.y0 == 792 - 100
+
+
+def _build_pdf15(text="hello from objstm"):
+    """Hand-assembled PDF 1.5: catalog/pages/page/font inside a /ObjStm,
+    cross-referenced by an /XRef STREAM (type-2 entries)."""
+    import zlib
+
+    inner = {
+        3: b"<< /Type /Catalog /Pages 4 0 R >>",
+        4: b"<< /Type /Pages /Kids [5 0 R] /Count 1 "
+           b"/MediaBox [0 0 612 792] >>",
+        5: b"<< /Type /Page /Parent 4 0 R /Resources "
+           b"<< /Font << /F1 6 0 R >> >> /Contents 2 0 R >>",
+        6: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    body = b""
+    header = b""
+    offs = {}
+    for num, objbytes in inner.items():
+        offs[num] = len(body)
+        body += objbytes + b" "
+    for num in inner:
+        header += b"%d %d " % (num, offs[num])
+    stm_payload = header + body
+    first = len(header)
+
+    content_raw = b"BT /F1 12 Tf 72 700 Td (%s) Tj ET" % text.encode()
+
+    buf = bytearray(b"%PDF-1.5\n")
+    offsets = {}
+
+    def emit(num, dict_bytes, stream=None):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n%s\n" % (num, dict_bytes))
+        if stream is not None:
+            buf.extend(b"stream\n")
+            buf.extend(stream)
+            buf.extend(b"\nendstream\n")
+        buf.extend(b"endobj\n")
+
+    z = zlib.compress(stm_payload)
+    emit(1, b"<< /Type /ObjStm /N 4 /First %d /Length %d "
+            b"/Filter /FlateDecode >>" % (first, len(z)), z)
+    emit(2, b"<< /Length %d >>" % len(content_raw), content_raw)
+
+    # xref stream object 7: W [1 4 2], objects 0..7
+    rows = []
+    rows.append((0, 0, 65535))          # obj 0: free
+    rows.append((1, offsets[1], 0))     # obj 1: ObjStm itself
+    rows.append((1, offsets[2], 0))     # obj 2: content
+    for idx, num in enumerate(inner):   # objs 3-6: inside ObjStm 1
+        rows.append((2, 1, idx))
+    xref_pos_placeholder = len(buf)     # obj 7 offset (itself)
+    rows.append((1, xref_pos_placeholder, 0))
+    entries = b"".join(
+        t.to_bytes(1, "big") + f2.to_bytes(4, "big") + f3.to_bytes(2, "big")
+        for t, f2, f3 in rows)
+    zx = zlib.compress(entries)
+    emit(7, b"<< /Type /XRef /Size 8 /W [1 4 2] /Index [0 8] "
+            b"/Root 3 0 R /Length %d /Filter /FlateDecode >>" % len(zx), zx)
+    buf.extend(b"startxref\n%d\n%%%%EOF\n" % xref_pos_placeholder)
+    return bytes(buf)
+
+
+def test_pdf15_xref_stream_and_objstm():
+    data = _build_pdf15()
+    f = parse_pdf(data)
+    assert len(f.pages) == 1
+    (span,) = f.pages[0].spans
+    assert span.text == "hello from objstm"
+    assert span.x0 == 72.0
+
+
+def test_pdf15_full_extraction():
+    from pdf_parser_spark.extractor import extract_document
+
+    res = extract_document("u", _build_pdf15("objstm body text here"))
+    assert res.error_kind is None
+    assert "objstm body text here" in res.body_text
+
+
+def test_mediabox_inheritance():
+    # the PDF 1.5 fixture's Page has NO MediaBox; it inherits from Pages
+    data = _build_pdf15()
+    f = parse_pdf(data)
+    assert (f.pages[0].width, f.pages[0].height) == (612.0, 792.0)
