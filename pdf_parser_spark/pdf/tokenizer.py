@@ -580,14 +580,25 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
 
 class FontDecode:
     """Per-font byte -> text decoding: base latin-1, overridden by
-    /Encoding /Differences glyph names, overridden by /ToUnicode."""
+    /Encoding /Differences glyph names, overridden by /ToUnicode.
 
-    __slots__ = ("base_font", "table")
+    ``two_byte=True`` (Type0/CID fonts, Identity-H): show-string bytes are
+    2-byte CIDs; text comes from the /ToUnicode CMap and advances from the
+    descendant font's /W widths (default /DW 1000)."""
+
+    __slots__ = ("base_font", "table", "two_byte", "cid_widths",
+                 "default_width")
 
     def __init__(self, base_font: str,
                  differences: dict[int, str] | None = None,
-                 to_unicode: dict[int, str] | None = None):
+                 to_unicode: dict[int, str] | None = None,
+                 two_byte: bool = False,
+                 cid_widths: dict[int, float] | None = None,
+                 default_width: float = 1000.0):
         self.base_font = base_font
+        self.two_byte = two_byte
+        self.cid_widths = cid_widths or {}
+        self.default_width = default_width
         table: dict[int, str] | None = None
         if differences:
             table = {code: _GLYPH_NAMES.get(name, "�")
@@ -597,12 +608,29 @@ class FontDecode:
             table.update(to_unicode)
         self.table = table
 
+    def codes(self, raw: str) -> list[int]:
+        if not self.two_byte:
+            return [ord(ch) for ch in raw]
+        b = raw.encode("latin-1", "replace")
+        return [int.from_bytes(b[i : i + 2], "big")
+                for i in range(0, len(b) - len(b) % 2, 2)]
+
     def decode(self, raw: str) -> str:
-        """raw is the latin-1-decoded byte string from the lexer."""
+        if self.two_byte:
+            t = self.table or {}
+            return "".join(t.get(c, "�") for c in self.codes(raw))
         if self.table is None:
             return raw
         t = self.table
         return "".join(t.get(ord(ch), ch) for ch in raw)
+
+    def advance(self, raw: str, size: float, tc: float, tw: float) -> float:
+        """Text-space advance width; CID path uses /W widths."""
+        if not self.two_byte:
+            return fonts.text_width(raw, self.base_font, size, tc, tw)
+        cids = self.codes(raw)
+        w = sum(self.cid_widths.get(c, self.default_width) for c in cids)
+        return w * size / 1000.0 + tc * len(cids)
 
 
 # -- content-stream interpretation -------------------------------------------
@@ -666,6 +694,26 @@ def _cs_tokens(data: bytes):
             yield ("op", tok.decode("latin-1"))
 
 
+def _parse_cid_widths(w: list) -> dict[int, float]:
+    """CIDFont /W array: two forms — ``c [w1 w2 ...]`` and
+    ``c_first c_last w`` (PDF spec 9.7.4.3)."""
+    out: dict[int, float] = {}
+    i = 0
+    while i < len(w):
+        if i + 1 < len(w) and isinstance(w[i + 1], list):
+            start = int(w[i])
+            for k, width in enumerate(w[i + 1]):
+                out[start + k] = float(width)
+            i += 2
+        elif i + 2 < len(w):
+            for c in range(int(w[i]), int(w[i + 1]) + 1):
+                out[c] = float(w[i + 2])
+            i += 3
+        else:
+            break
+    return out
+
+
 _DEFAULT_DECODE = FontDecode("Helvetica")
 
 
@@ -705,7 +753,7 @@ def _interpret(content: bytes, page: PdfPage,
         base = fd.base_font
         # glyph advance comes from the RAW byte codes; the emitted text is
         # the CMap/Differences-decoded string
-        w = fonts.text_width(s, base, size, tc, tw)
+        w = fd.advance(s, size, tc, tw)
         if s:
             _, asc, desc = fonts.metrics(base)
             sx = ta * ca            # effective horizontal scale
@@ -908,8 +956,24 @@ def parse_pdf(data: bytes) -> PdfFile:
                             to_uni = _parse_tounicode(doc.stream(tu_ref))
                         except PdfError:
                             to_uni = {}
+                    two_byte = fobj.get("Subtype") == "Type0"
+                    cid_widths: dict[int, float] = {}
+                    default_w = 1000.0
+                    if two_byte:
+                        desc = doc.obj(fobj.get("DescendantFonts"))
+                        if isinstance(desc, list) and desc:
+                            dfont = doc.obj(desc[0])
+                            if isinstance(dfont, dict):
+                                dw = doc.obj(dfont.get("DW"))
+                                if isinstance(dw, (int, float)):
+                                    default_w = float(dw)
+                                cid_widths = _parse_cid_widths(
+                                    doc.obj(dfont.get("W")) or [])
                     font_map[fid] = FontDecode(base, diffs or None,
-                                               to_uni or None)
+                                               to_uni or None,
+                                               two_byte=two_byte,
+                                               cid_widths=cid_widths,
+                                               default_width=default_w)
 
         contents = pnode.get("Contents")
         content_refs = (doc.obj(contents)

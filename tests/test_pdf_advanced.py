@@ -205,3 +205,73 @@ def test_mediabox_inheritance():
     data = _build_pdf15()
     f = parse_pdf(data)
     assert (f.pages[0].width, f.pages[0].height) == (612.0, 792.0)
+
+
+def _build_type0_pdf():
+    """Hand-assembled PDF with a Type0 (Identity-H CID) font: 2-byte
+    codes shown via hex strings, /W widths, /ToUnicode bfrange."""
+    cmap = (b"/CIDInit /ProcSet findresource begin\n12 dict begin\n"
+            b"begincmap\n1 begincodespacerange\n<0000> <FFFF>\n"
+            b"endcodespacerange\n"
+            b"2 beginbfrange\n<0041> <005A> <0041>\n"
+            b"<0061> <007A> <0061>\nendbfrange\n"
+            b"1 beginbfchar\n<0020> <0020>\nendbfchar\n"
+            b"endcmap\nend\nend")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/MediaBox [0 0 612 792] >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources "
+           b"<< /Font << /F1 4 0 R >> >> /Contents 7 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type0 /BaseFont /Fake-CID "
+           b"/Encoding /Identity-H /DescendantFonts [5 0 R] "
+           b"/ToUnicode 6 0 R >>",
+        5: b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fake-CID "
+           b"/DW 600 /W [65 [500 510 520] 97 122 450] >>",
+    }
+    # "Hi there" as 2-byte codes: H=0048 i=0069 sp=0020 t=0074 ...
+    def hexstr(s):
+        return "".join(f"{ord(ch):04X}" for ch in s).encode()
+
+    content = (b"BT /F1 12 Tf 72 700 Td <" + hexstr("Hi there") +
+               b"> Tj ET")
+    buf = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+
+    def emit(num, d, stream=None):
+        offsets[num] = len(buf)
+        buf.extend(b"%d 0 obj\n%s\n" % (num, d))
+        if stream is not None:
+            buf.extend(b"stream\n" + stream + b"\nendstream\n")
+        buf.extend(b"endobj\n")
+
+    for num in (1, 2, 3, 4, 5):
+        emit(num, objs[num])
+    emit(6, b"<< /Length %d >>" % len(cmap), cmap)
+    emit(7, b"<< /Length %d >>" % len(content), content)
+    xref_off = len(buf)
+    buf.extend(b"xref\n0 8\n0000000000 65535 f \n")
+    for n in range(1, 8):
+        buf.extend(b"%010d 00000 n \n" % offsets[n])
+    buf.extend(b"trailer\n<< /Size 8 /Root 1 0 R >>\nstartxref\n%d\n"
+               b"%%%%EOF\n" % xref_off)
+    return bytes(buf)
+
+
+def test_type0_cid_font():
+    f = parse_pdf(_build_type0_pdf())
+    (span,) = f.pages[0].spans
+    assert span.text == "Hi there"
+    # advance: H(72->CID 0x48? no: codes are raw 2-byte values) --
+    # 'H'=0x0048=72 not in W (W covers 65-67, 97-122) -> DW 600;
+    # 'i'=105 -> 450; ' '=32 -> DW 600; 't','h','e','r','e' -> 450
+    expected = (600 + 450 + 600 + 450*5) / 1000 * 12
+    assert span.x1 - span.x0 == __import__("pytest").approx(expected)
+
+
+def test_type0_in_full_pipeline():
+    from pdf_parser_spark.extractor import extract_document
+
+    res = extract_document("u", _build_type0_pdf())
+    assert res.error_kind is None
+    assert "Hi there" in res.body_text
