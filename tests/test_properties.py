@@ -85,3 +85,29 @@ def test_extractor_total_on_garbage(data):
     assert res.doc_type in ("pdf", "html", "unknown")
     # either extracted something or reported a structured error
     assert (res.text is not None) or res.error_kind
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000_000),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=1, max_value=64))
+def test_extractor_survives_mutated_pdfs(seed, byte_val, n_mut):
+    """Mutation fuzzing: corrupt a VALID PDF at pseudo-random offsets;
+    extract_document must never raise (error column or degraded output,
+    reference E1-E3 ladder)."""
+    base = bytearray(render_pdf_doc("some words to corrupt here", 1))
+    state = seed or 1
+    for _ in range(n_mut):
+        state = (1103515245 * state + 12345) % (2**31)
+        base[state % len(base)] = byte_val
+    res = extract_document("u", bytes(base))
+    assert res.doc_type in ("pdf", "html", "unknown")
+    assert (res.text is not None) or res.error_kind
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000_000))
+def test_extractor_survives_truncated_pdfs(cut):
+    data = render_pdf_doc("truncate me please for robustness", 2)
+    res = extract_document("u", data[: cut % len(data)])
+    assert (res.text is not None) or res.error_kind
