@@ -52,9 +52,12 @@ def run():
     return job.run_extract_fused(docs, n_partitions=cpus).count()
 
 n = run()                      # warm-up (workers, JIT, page cache)
-t0 = time.time(); n = run(); wall = time.time() - t0
+walls = []
+for _ in range(3):             # best-of-3: the host VM is noisy
+    t0 = time.time(); n = run(); walls.append(time.time() - t0)
+wall = min(walls)
 print(json.dumps({"cpus": cpus, "docs": n, "wall": wall,
-                  "docs_per_sec": n / wall}))
+                  "walls": walls, "docs_per_sec": n / wall}))
 spark.stop()
 """
 
@@ -98,11 +101,15 @@ def hw_control(procs: int, sf_dir: str, replicate: int) -> dict:
               for r in range(replicate) for i in range(0, n, step)]
     with mp.Pool(procs) as pool:      # warm-up pass
         pool.map(_mp_work, chunks[: procs])
-    t0 = time.time()
-    with mp.Pool(procs) as pool:
-        done = pool.map(_mp_work, chunks)
-    wall = time.time() - t0
-    docs = int(sum(done))
+    walls = []
+    docs = 0
+    for _ in range(3):  # best-of-3, same as the Spark levels
+        t0 = time.time()
+        with mp.Pool(procs) as pool:
+            done = pool.map(_mp_work, chunks)
+        walls.append(time.time() - t0)
+        docs = int(sum(done))
+    wall = min(walls)
     return {"procs": procs, "docs": docs, "wall": wall,
             "docs_per_sec": docs / wall}
 
