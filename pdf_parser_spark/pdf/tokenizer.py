@@ -240,6 +240,60 @@ class _Lexer:
         return float(tok) if b"." in tok else int(tok)
 
 
+def _rle_decode(raw: bytes) -> bytes:
+    """RunLengthDecode (PDF spec 7.4.5)."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        l = raw[i]
+        if l == 128:
+            break
+        if l < 128:
+            out += raw[i + 1 : i + 2 + l]
+            i += 2 + l
+        else:
+            out += raw[i + 1 : i + 2] * (257 - l)
+            i += 2
+    return bytes(out)
+
+
+def _apply_filters(raw: bytes, filters: list) -> bytes:
+    """Decode a stream filter chain: Flate, ASCIIHex, ASCII85, RunLength
+    (the text-bearing set; image codecs like DCT are not text streams)."""
+    import base64
+
+    for f in filters:
+        if f is None:
+            continue
+        if f in ("FlateDecode", "Fl"):
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise PdfError(f"FlateDecode failed: {e}") from e
+        elif f in ("ASCIIHexDecode", "AHx"):
+            hx = re.sub(rb"[\s>]", b"", raw)
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode("ascii"))
+            except ValueError as e:
+                raise PdfError(f"ASCIIHexDecode failed: {e}") from e
+        elif f in ("ASCII85Decode", "A85"):
+            body = re.sub(rb"\s", b"", raw)
+            if body.endswith(b"~>"):
+                body = body[:-2]
+            try:
+                raw = base64.a85decode(body, adobe=False)
+            except ValueError as e:
+                raise PdfError(f"ASCII85Decode failed: {e}") from e
+        elif f in ("RunLengthDecode", "RL"):
+            raw = _rle_decode(raw)
+        else:
+            raise PdfError(f"unsupported filter {f!r}")
+    return raw
+
+
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -404,15 +458,7 @@ class _Doc:
             raw = self.data[i:j].rstrip(b"\r\n")
         filt = d.get("Filter")
         filters = [filt] if isinstance(filt, str) else (filt or [])
-        for f in filters:
-            if f == "FlateDecode":
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error as e:
-                    raise PdfError(f"FlateDecode failed: {e}") from e
-            else:
-                raise PdfError(f"unsupported filter {f!r}")
-        return raw
+        return _apply_filters(raw, filters)
 
     def _load_objstm(self, stm_num: int) -> dict[int, object]:
         """Parse a /Type /ObjStm: header of (objnum, offset) pairs, then
@@ -514,17 +560,7 @@ class _Doc:
             raw = self.data[i:j].rstrip(b"\r\n")
         filt = self.obj(d.get("Filter"))
         filters = [filt] if isinstance(filt, str) else (filt or [])
-        for f in filters:
-            if f == "FlateDecode":
-                try:
-                    raw = zlib.decompress(raw)
-                except zlib.error as e:
-                    raise PdfError(f"FlateDecode failed: {e}") from e
-            elif f is None:
-                pass
-            else:
-                raise PdfError(f"unsupported filter {f!r}")
-        return raw
+        return _apply_filters(raw, filters)
 
 
 # -- font decoding: /Encoding /Differences + /ToUnicode CMaps ---------------
@@ -690,6 +726,19 @@ def _cs_tokens(data: bytes):
             yield ("arr", tok)
         elif tok[:1] in b"+-.0123456789":
             yield ("num", float(tok))
+        elif tok == b"BI":
+            # inline image: skip dict to ID, then binary payload to a
+            # whitespace-delimited EI (PDF spec 8.9.7) — the payload is
+            # arbitrary bytes that must not reach the tokenizer
+            j = data.find(b"ID", i)
+            if j < 0:
+                return
+            m2 = re.search(
+                rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(%]|$)",
+                data[j + 2 :])
+            if not m2:
+                return
+            i = j + 2 + m2.end()
         else:
             yield ("op", tok.decode("latin-1"))
 

@@ -275,3 +275,38 @@ def test_type0_in_full_pipeline():
     res = extract_document("u", _build_type0_pdf())
     assert res.error_kind is None
     assert "Hi there" in res.body_text
+
+
+def test_inline_image_skipped():
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = (b"BT /F1 12 Tf 72 700 Td (before) Tj ET "
+           b"BI /W 2 /H 2 /BPC 8 /CS /G ID \x00\xff(\x29garbage Tj ET EI "
+           b"BT /F1 12 Tf 72 680 Td (after) Tj ET")
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {"F1": "Helvetica"})
+    assert [s.text for s in pg.spans] == ["before", "after"]
+
+
+def test_asciihex_and_a85_filters():
+    from pdf_parser_spark.pdf.tokenizer import _apply_filters
+    import base64
+
+    payload = b"BT (x) Tj ET"
+    hx = payload.hex().encode() + b">"
+    assert _apply_filters(hx, ["ASCIIHexDecode"]) == payload
+    a85 = base64.a85encode(payload) + b"~>"
+    assert _apply_filters(a85, ["ASCII85Decode"]) == payload
+    # chain: flate inside hex
+    import zlib
+    chained = zlib.compress(payload).hex().encode()
+    assert _apply_filters(chained,
+                          ["ASCIIHexDecode", "FlateDecode"]) == payload
+
+
+def test_runlength_filter():
+    from pdf_parser_spark.pdf.tokenizer import _rle_decode
+
+    # literal run of 3 ('abc'), repeat 'x' 4 times, EOD
+    enc = bytes([2]) + b"abc" + bytes([253]) + b"x" + bytes([128])
+    assert _rle_decode(enc) == b"abcxxxx"
