@@ -258,12 +258,63 @@ def _rle_decode(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def _apply_filters(raw: bytes, filters: list) -> bytes:
+def _png_unpredict(raw: bytes, columns: int, bpp: int = 1) -> bytes:
+    """Undo PNG row predictors (PDF /Predictor >= 10; spec 7.4.4.4).
+    Each row is prefixed by a filter-type byte; real-world xref streams
+    use Up (2) almost exclusively, but all five types are handled."""
+    row_len = columns * bpp
+    out = bytearray()
+    prev = bytearray(row_len)
+    i = 0
+    while i + 1 + row_len <= len(raw) + row_len and i < len(raw):
+        ft = raw[i]
+        row = bytearray(raw[i + 1 : i + 1 + row_len])
+        row += bytes(row_len - len(row))
+        i += 1 + row_len
+        if ft == 1:     # Sub
+            for k in range(bpp, row_len):
+                row[k] = (row[k] + row[k - bpp]) & 0xFF
+        elif ft == 2:   # Up
+            for k in range(row_len):
+                row[k] = (row[k] + prev[k]) & 0xFF
+        elif ft == 3:   # Average
+            for k in range(row_len):
+                left = row[k - bpp] if k >= bpp else 0
+                row[k] = (row[k] + ((left + prev[k]) >> 1)) & 0xFF
+        elif ft == 4:   # Paeth
+            for k in range(row_len):
+                a = row[k - bpp] if k >= bpp else 0
+                b = prev[k]
+                c = prev[k - bpp] if k >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[k] = (row[k] + pr) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(raw: bytes, parms) -> bytes:
+    if not isinstance(parms, dict):
+        return raw
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, (int, float)) or pred < 10:
+        return raw  # 1 = none, 2 = TIFF (unused for xref streams)
+    columns = int(parms.get("Columns", 1) or 1)
+    colors = int(parms.get("Colors", 1) or 1)
+    bpc = int(parms.get("BitsPerComponent", 8) or 8)
+    return _png_unpredict(raw, columns, max(1, colors * bpc // 8))
+
+
+def _apply_filters(raw: bytes, filters: list, parms_list=None) -> bytes:
     """Decode a stream filter chain: Flate, ASCIIHex, ASCII85, RunLength
     (the text-bearing set; image codecs like DCT are not text streams)."""
     import base64
 
-    for f in filters:
+    if parms_list is None:
+        parms_list = [None] * len(filters)
+    for f, parms in zip(filters, parms_list):
         if f is None:
             continue
         if f in ("FlateDecode", "Fl"):
@@ -271,6 +322,7 @@ def _apply_filters(raw: bytes, filters: list) -> bytes:
                 raw = zlib.decompress(raw)
             except zlib.error as e:
                 raise PdfError(f"FlateDecode failed: {e}") from e
+            raw = _apply_predictor(raw, parms)
         elif f in ("ASCIIHexDecode", "AHx"):
             hx = re.sub(rb"[\s>]", b"", raw)
             if len(hx) % 2:
@@ -458,7 +510,11 @@ class _Doc:
             raw = self.data[i:j].rstrip(b"\r\n")
         filt = d.get("Filter")
         filters = [filt] if isinstance(filt, str) else (filt or [])
-        return _apply_filters(raw, filters)
+        parms = d.get("DecodeParms")
+        parms_list = ([parms] if isinstance(parms, dict)
+                      else [p for p in parms] if isinstance(parms, list)
+                      else None)
+        return _apply_filters(raw, filters, parms_list)
 
     def _load_objstm(self, stm_num: int) -> dict[int, object]:
         """Parse a /Type /ObjStm: header of (objnum, offset) pairs, then
@@ -560,7 +616,11 @@ class _Doc:
             raw = self.data[i:j].rstrip(b"\r\n")
         filt = self.obj(d.get("Filter"))
         filters = [filt] if isinstance(filt, str) else (filt or [])
-        return _apply_filters(raw, filters)
+        parms = self.obj(d.get("DecodeParms"))
+        parms_list = ([parms] if isinstance(parms, dict)
+                      else [self.obj(p) for p in parms]
+                      if isinstance(parms, list) else None)
+        return _apply_filters(raw, filters, parms_list)
 
 
 # -- font decoding: /Encoding /Differences + /ToUnicode CMaps ---------------

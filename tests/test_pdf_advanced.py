@@ -310,3 +310,57 @@ def test_runlength_filter():
     # literal run of 3 ('abc'), repeat 'x' 4 times, EOD
     enc = bytes([2]) + b"abc" + bytes([253]) + b"x" + bytes([128])
     assert _rle_decode(enc) == b"abcxxxx"
+
+
+def test_png_predictor_up():
+    """Xref streams in real PDFs use FlateDecode + Predictor 12 (PNG Up)."""
+    import zlib
+
+    from pdf_parser_spark.pdf.tokenizer import _apply_filters, _png_unpredict
+
+    rows = [b"\x01\x02\x03\x04", b"\x01\x02\x03\x05", b"\xff\x00\x10\x20"]
+    # encode with Up filter
+    enc = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        enc.append(2)
+        enc.extend((r[k] - prev[k]) & 0xFF for k in range(4))
+        prev = r
+    assert _png_unpredict(bytes(enc), 4) == b"".join(rows)
+    z = zlib.compress(bytes(enc))
+    out = _apply_filters(z, ["FlateDecode"],
+                         [{"Predictor": 12, "Columns": 4}])
+    assert out == b"".join(rows)
+
+
+def test_pdf15_with_predictor_xref():
+    """End-to-end: the 1.5 fixture with its xref stream re-encoded using
+    Predictor 12 must still parse."""
+    import re as _re
+    import zlib
+
+    data = bytearray(_build_pdf15("predictor path"))
+    # locate xref stream object 7 and re-encode its entries
+    m = _re.search(rb"7 0 obj\n(<<[^>]*>>)\nstream\n", bytes(data))
+    dict_bytes = m.group(1)
+    stream_start = m.end()
+    end = bytes(data).find(b"\nendstream", stream_start)
+    entries = zlib.decompress(bytes(data[stream_start:end]))
+    # rows of 7 bytes (W [1 4 2]); apply PNG Up encoding
+    enc = bytearray()
+    prev = bytes(7)
+    for i in range(0, len(entries), 7):
+        row = entries[i : i + 7]
+        enc.append(2)
+        enc.extend((row[k] - prev[k]) & 0xFF for k in range(7))
+        prev = row
+    z = zlib.compress(bytes(enc))
+    new_dict = dict_bytes.replace(
+        b"/Length %d" % (end - stream_start),
+        b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d" % len(z))
+    new = (bytes(data[: m.start()]) + b"7 0 obj\n" + new_dict +
+           b"\nstream\n" + z + bytes(data[end:]))
+    # startxref offset unchanged (object 7 start is before the edits)
+    f = parse_pdf(new)
+    (span,) = f.pages[0].spans
+    assert span.text == "predictor path"
