@@ -180,13 +180,55 @@ def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (non-SQL-expressible: seeded
-    hyperplanes; recall vs brute force asserted in tests)."""
+    """LSH-bucketed approximate top-k. The seeded hyperplanes are
+    deterministic, so the oracle SQL inlines them as literals and
+    reproduces bucketing + rerank exactly."""
     from pdf_parser_spark.analytics import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.lsh_topk(emb, similarity.make_queries(emb),
                                dim=64, k=10)
+
+
+def _sql_ann_lsh(dim: int = 64, nbits: int = 8, budget: int = 2,
+                 k: int = 10) -> str:
+    from pdf_parser_spark.analytics.similarity import _hyperplane
+
+    def dot(col: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (f"list_sum(list_transform(list_zip({col}, {lit}), "
+                f"p -> CAST(p[1] AS DOUBLE) * p[2]))")
+
+    def sig(col: str) -> str:
+        bits = ", ".join(
+            f"CASE WHEN {dot(col, _hyperplane(dim, i))} > 0 "
+            f"THEN 1 ELSE 0 END"
+            for i in range(nbits))
+        return f"[{bits}]"
+
+    hamming = ("list_sum(list_transform(list_zip(e.sig, qs.sig), "
+               "p -> CASE WHEN p[1] <> p[2] THEN 1 ELSE 0 END))")
+    cos = (
+        "list_sum(list_transform(list_zip(qs.q_emb, e.embedding), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        "(sqrt(list_sum(list_transform(qs.q_emb, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        "sqrt(list_sum(list_transform(e.embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return (
+        f"WITH esig AS (SELECT vec_id, embedding, {sig('embedding')} "
+        "AS sig FROM embeddings), "
+        f"qsig AS (SELECT vec_id AS q_id, embedding AS q_emb, "
+        f"{sig('embedding')} AS sig FROM embeddings WHERE vec_id < 5), "
+        f"scored AS (SELECT qs.q_id, e.vec_id AS neighbor_id, {cos} AS cos "
+        f"FROM esig e, qsig qs WHERE e.vec_id <> qs.q_id "
+        f"AND {hamming} <= {budget}) "
+        "SELECT q_id, rank, neighbor_id, round(cos, 6) AS cosine FROM ("
+        "SELECT q_id, neighbor_id, cos, row_number() OVER "
+        "(PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,6 +591,7 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank "
             "FROM scored) WHERE rank <= 10"
         ),
+        "ann_lsh_topk": _sql_ann_lsh(),
         "dedup_embedding_cosine": (
             "SELECT vec_a, vec_b, cosine FROM ("
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("

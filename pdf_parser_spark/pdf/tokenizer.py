@@ -1029,6 +1029,55 @@ def parse_pdf(data: bytes) -> PdfFile:
     if not page_refs:
         raise PdfError("document has no pages")
 
+    # FontDecode construction parses /ToUnicode streams and /W arrays —
+    # cache per font REF so multi-page docs sharing fonts pay once.
+    font_cache: dict = {}
+
+    def build_font(fref) -> FontDecode | None:
+        key = fref if isinstance(fref, Ref) else id(fref)
+        if key in font_cache:
+            return font_cache[key]
+        fobj = doc.obj(fref)
+        fd = None
+        if isinstance(fobj, dict):
+            base = fobj.get("BaseFont")
+            if isinstance(base, str):
+                diffs: dict[int, str] = {}
+                enc = doc.obj(fobj.get("Encoding"))
+                if isinstance(enc, dict):
+                    code = 0
+                    for item in doc.obj(enc.get("Differences")) or []:
+                        if isinstance(item, (int, float)):
+                            code = int(item)
+                        elif isinstance(item, str):
+                            diffs[code] = item
+                            code += 1
+                to_uni: dict[int, str] = {}
+                tu_ref = fobj.get("ToUnicode")
+                if isinstance(tu_ref, Ref):
+                    try:
+                        to_uni = _parse_tounicode(doc.stream(tu_ref))
+                    except PdfError:
+                        to_uni = {}
+                two_byte = fobj.get("Subtype") == "Type0"
+                cid_widths: dict[int, float] = {}
+                default_w = 1000.0
+                if two_byte:
+                    desc = doc.obj(fobj.get("DescendantFonts"))
+                    if isinstance(desc, list) and desc:
+                        dfont = doc.obj(desc[0])
+                        if isinstance(dfont, dict):
+                            dw = doc.obj(dfont.get("DW"))
+                            if isinstance(dw, (int, float)):
+                                default_w = float(dw)
+                            cid_widths = _parse_cid_widths(
+                                doc.obj(dfont.get("W")) or [])
+                fd = FontDecode(base, diffs or None, to_uni or None,
+                                two_byte=two_byte, cid_widths=cid_widths,
+                                default_width=default_w)
+        font_cache[key] = fd
+        return fd
+
     out_pages: list[PdfPage] = []
     for idx, pnode in enumerate(page_refs, start=1):
         mb = doc.obj(pnode.get("MediaBox")) or [0, 0, 612, 792]
@@ -1042,47 +1091,9 @@ def parse_pdf(data: bytes) -> PdfFile:
             fdict = doc.obj(res.get("Font"))
             if isinstance(fdict, dict):
                 for fid, fref in fdict.items():
-                    fobj = doc.obj(fref)
-                    if not isinstance(fobj, dict):
-                        continue
-                    base = fobj.get("BaseFont")
-                    if not isinstance(base, str):
-                        continue
-                    diffs: dict[int, str] = {}
-                    enc = doc.obj(fobj.get("Encoding"))
-                    if isinstance(enc, dict):
-                        code = 0
-                        for item in doc.obj(enc.get("Differences")) or []:
-                            if isinstance(item, (int, float)):
-                                code = int(item)
-                            elif isinstance(item, str):
-                                diffs[code] = item
-                                code += 1
-                    to_uni: dict[int, str] = {}
-                    tu_ref = fobj.get("ToUnicode")
-                    if isinstance(tu_ref, Ref):
-                        try:
-                            to_uni = _parse_tounicode(doc.stream(tu_ref))
-                        except PdfError:
-                            to_uni = {}
-                    two_byte = fobj.get("Subtype") == "Type0"
-                    cid_widths: dict[int, float] = {}
-                    default_w = 1000.0
-                    if two_byte:
-                        desc = doc.obj(fobj.get("DescendantFonts"))
-                        if isinstance(desc, list) and desc:
-                            dfont = doc.obj(desc[0])
-                            if isinstance(dfont, dict):
-                                dw = doc.obj(dfont.get("DW"))
-                                if isinstance(dw, (int, float)):
-                                    default_w = float(dw)
-                                cid_widths = _parse_cid_widths(
-                                    doc.obj(dfont.get("W")) or [])
-                    font_map[fid] = FontDecode(base, diffs or None,
-                                               to_uni or None,
-                                               two_byte=two_byte,
-                                               cid_widths=cid_widths,
-                                               default_width=default_w)
+                    fd = build_font(fref)
+                    if fd is not None:
+                        font_map[fid] = fd
 
         contents = pnode.get("Contents")
         content_refs = (doc.obj(contents)
