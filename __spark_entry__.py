@@ -231,6 +231,54 @@ def _sql_ann_lsh(dim: int = 64, nbits: int = 8, budget: int = 2,
     )
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer + inverted-list probe +
+    exact rerank (the scale path beside sign-LSH)."""
+    from pdf_parser_spark.analytics import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, similarity.make_queries(emb),
+                               n_centroids=16, nprobe=4, k=10)
+
+
+def _sql_cos2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) / "
+        f"(sqrt(list_sum(list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * "
+        f"sqrt(list_sum(list_transform({b}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4,
+                 k: int = 10) -> str:
+    return (
+        f"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb "
+        f"FROM embeddings WHERE vec_id < {n_centroids}), "
+        "asg AS (SELECT vec_id, embedding, cent_id AS centroid FROM ("
+        "SELECT e.vec_id, e.embedding, c.cent_id, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        + _sql_cos2("e.embedding", "c.cent_emb")
+        + " DESC, c.cent_id) AS r FROM embeddings e, cents c) WHERE r = 1), "
+        "probes AS (SELECT q_id, q_emb, cent_id AS centroid FROM ("
+        "SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id, "
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+        + _sql_cos2("q.embedding", "c.cent_emb")
+        + " DESC, c.cent_id) AS r FROM embeddings q, cents c "
+        f"WHERE q.vec_id < 5) WHERE r <= {nprobe}), "
+        "scored AS (SELECT p.q_id, a.vec_id AS neighbor_id, "
+        + _sql_cos2("p.q_emb", "a.embedding")
+        + " AS cos FROM asg a JOIN probes p USING (centroid) "
+        "WHERE a.vec_id <> p.q_id) "
+        "SELECT q_id, rank, neighbor_id, round(cos, 6) AS cosine FROM ("
+        "SELECT q_id, neighbor_id, cos, row_number() OVER ("
+        "PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank "
+        f"FROM scored) WHERE rank <= {k}"
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (dedup family; exact pairwise at
     oracle scale, LSH-bucketed variant covered by tests)."""
@@ -410,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "ann_brute_topk": _q_ann_brute,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding_cosine": _q_embedding_neardup,
         "lang_features": _q_lang_features,
         "quality_features": _q_quality,
@@ -592,6 +641,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored) WHERE rank <= 10"
         ),
         "ann_lsh_topk": _sql_ann_lsh(),
+        "ann_ivf_topk": _sql_ann_ivf(),
         "dedup_embedding_cosine": (
             "SELECT vec_a, vec_b, cosine FROM ("
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round("

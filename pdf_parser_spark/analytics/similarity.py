@@ -170,6 +170,50 @@ def _near_dup_gemm(embeddings: DataFrame, threshold: float) -> DataFrame:
         kernel, "vec_a long, vec_b long, cosine double")
 
 
+def ivf_topk(embeddings: DataFrame, queries: DataFrame,
+             n_centroids: int = 16, nprobe: int = 4,
+             k: int = 10) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    Coarse quantizer: the first ``n_centroids`` vectors by vec_id act as
+    deterministic centroids (a k-means step would converge them further;
+    determinism matters more here — the DuckDB oracle reproduces this
+    exactly). Every vector is assigned to its max-cosine centroid
+    (building the inverted lists); a query probes its ``nprobe`` nearest
+    centroids and reranks only those lists.
+
+    Plan shape at scale: centroid assignment is a broadcast join (tiny
+    centroid table) + window argmax; the probe is an equi-join on
+    centroid_id — the corpus is never cross-joined."""
+    cents = (embeddings.where(F.col("vec_id") < n_centroids)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("cent_emb")))
+
+    def assign(df: DataFrame, id_col: str, emb_col: str, topn: int,
+               out: str) -> DataFrame:
+        scored = with_cosine(
+            df.crossJoin(F.broadcast(cents)), emb_col, "cent_emb",
+            out="cent_cos")
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("cent_cos"), F.asc("cent_id"))
+        return (scored.withColumn("_r", F.row_number().over(w))
+                .where(F.col("_r") <= topn)
+                .select(id_col, emb_col, F.col("cent_id").alias(out)))
+
+    lists = assign(embeddings, "vec_id", "embedding", 1, "centroid")
+    probes = assign(queries, "q_id", "q_emb", nprobe, "centroid")
+    cand = (lists.join(probes, "centroid")
+            .where(F.col("vec_id") != F.col("q_id")))
+    # each vector lives in exactly one list and probe centroids are
+    # distinct per query, so (q_id, vec_id) pairs are already unique
+    scored = with_cosine(cand, "q_emb", "embedding")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
+                    F.round("cosine", 6).alias("cosine")))
+
+
 def make_queries(embeddings: DataFrame, n: int = 5) -> DataFrame:
     return (embeddings.where(F.col("vec_id") < n)
             .select(F.col("vec_id").alias("q_id"),

@@ -159,3 +159,25 @@ def test_lang_features_guess_english(spark):
          for row in T.lang_features(df).collect()}
     assert r[1] == "en"
     assert r[2] == "es"
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    import numpy as np
+
+    from pdf_parser_spark.analytics import similarity
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64)
+    rows = [(i, [float(x) for x in centers[i % 8] + 0.12 * rng.randn(64)])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = similarity.make_queries(df, n=5)
+    brute = similarity.brute_force_topk(df, q, k=10).toPandas()
+    ivf = similarity.ivf_topk(df, q, n_centroids=16, nprobe=4,
+                              k=10).toPandas()
+    recalls = []
+    for qid in brute.q_id.unique():
+        b = set(brute[brute.q_id == qid].neighbor_id)
+        a = set(ivf[ivf.q_id == qid].neighbor_id)
+        recalls.append(len(a & b) / len(b))
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
