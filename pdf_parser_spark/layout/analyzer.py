@@ -30,8 +30,10 @@ def to_span_ir(s: Span) -> SpanIR:
                   color=s.color)
 
 
-def analyze_page(page: PdfPage) -> PageIR:
-    """Reference analyzer.py:89-180."""
+def analyze_page(page: PdfPage, text_tables: bool = False) -> PageIR:
+    """Reference analyzer.py:89-180. ``text_tables=True`` additionally
+    runs the whitespace-lattice detector when no ruled table is found
+    (extension beyond the reference; default off for output parity)."""
     spans_ir = [to_span_ir(s) for s in page.spans]
     # Step 1: raw blocks with page-level column assignment (page.py:96-118)
     raw = extract_raw_blocks(spans_ir)
@@ -47,6 +49,28 @@ def analyze_page(page: PdfPage) -> PageIR:
 
     # Step 3: tables + anti-join (analyzer.py:218-268)
     tables, content = _extract_tables(page, content)
+    if text_tables and not tables:
+        try:
+            # detect over PRE-column-split raw lines (wide table rows get
+            # split by the boundary logic otherwise), like pdfplumber's
+            # word-based strategy
+            raw_lines = [ln for b in extract_raw_blocks(spans_ir)
+                         for ln in b.lines]
+            cand = tables_mod.detect_text_tables(raw_lines, page.height)
+        except Exception:
+            cand = []  # E3 degradation, same as ruled path
+        if cand:
+            for t in cand:
+                t.ascii_representation = ascii_table.convert(t)
+            tables = cand
+            # extension path: anti-join in a CONSISTENT frame (unflip the
+            # table bbox back to top-left) — the reference's mixed-frame
+            # quirk applies only to the parity-bound ruled path
+            tboxes = [BBox(t.bbox.x0, page.height - t.bbox.y1,
+                           t.bbox.x1, page.height - t.bbox.y0)
+                      for t in cand]
+            content = [b for b in content
+                       if not any(b.bbox.intersects(tb) for tb in tboxes)]
 
     # Step 4: columns (analyzer.py:127-135 w/ E3 degradation)
     try:

@@ -215,6 +215,73 @@ def _detect_header(data: list[list[str | None]]) -> bool:
     return (not has_numbers) and data_numbers
 
 
+COL_GAP = 12.0     # x-gap splitting a line into cells (text strategy)
+ALIGN_TOL = 5.0    # column x-start alignment tolerance across rows
+
+
+def detect_text_tables(lines, page_height: float) -> list[TableIR]:
+    """Whitespace-lattice ("text" strategy) table detection — an
+    EXTENSION beyond the reference (which only does ruled "lines"
+    detection, detector.py:45-50); off by default in the analyzer to
+    preserve output parity (config.TABLES has no such switch; callers
+    opt in via analyze_page(text_tables=True)).
+
+    Heuristic: consecutive lines that split into >= 2 cell groups at
+    x-gaps > COL_GAP, whose column x-starts align within ALIGN_TOL,
+    form a candidate table; converted through the SAME y-flip /
+    uniform-grid / header / validation path as ruled tables."""
+    rows: list[tuple[object, list[tuple[float, str]]]] = []
+    for ln in sorted(lines, key=lambda l: l.bbox.y0):
+        cells: list[tuple[float, str]] = []
+        cur_x0 = None
+        cur_text: list[str] = []
+        last_x1 = None
+        for s in sorted(ln.spans, key=lambda s: s.bbox.x0):
+            if last_x1 is not None and s.bbox.x0 - last_x1 > COL_GAP:
+                cells.append((cur_x0, " ".join(cur_text)))
+                cur_x0, cur_text = None, []
+            if cur_x0 is None:
+                cur_x0 = s.bbox.x0
+            cur_text.append(s.text)
+            last_x1 = s.bbox.x1
+        if cur_x0 is not None:
+            cells.append((cur_x0, " ".join(cur_text)))
+        rows.append((ln, cells))
+
+    tables: list[TableIR] = []
+    group: list[tuple[object, list[tuple[float, str]]]] = []
+
+    def aligned(a: list[tuple[float, str]],
+                b: list[tuple[float, str]]) -> bool:
+        if len(a) != len(b) or len(a) < TABLES.min_cols:
+            return False
+        return all(abs(x1 - x2) <= ALIGN_TOL
+                   for (x1, _), (x2, _) in zip(a, b))
+
+    def flush() -> None:
+        if len(group) < TABLES.min_rows:
+            return
+        data = [[txt for _, txt in cells] for _, cells in group]
+        xs_starts = [x for x, _ in group[0][1]]
+        x1 = max(ln.bbox.x1 for ln, _ in group)
+        ys = ([min(ln.bbox.y0 for ln, _ in group)]
+              + [ln.bbox.y1 for ln, _ in group])
+        t = _convert(data, xs_starts + [x1], ys, page_height)
+        if t and _validate(t):
+            tables.append(t)
+
+    for item in rows:
+        _, cells = item
+        if len(cells) >= TABLES.min_cols and (
+                not group or aligned(group[-1][1], cells)):
+            group.append(item)
+        else:
+            flush()
+            group = [item] if len(cells) >= TABLES.min_cols else []
+    flush()
+    return tables
+
+
 def _validate(t: TableIR) -> bool:
     """P9 (reference detector.py:352-379)."""
     if t.num_rows < TABLES.min_rows or t.num_cols < TABLES.min_cols:

@@ -149,3 +149,46 @@ def test_markdown_table_always_separates_header():
 def test_empty_table_renders_empty():
     t = make_table([], 0, 0)
     assert ascii_table.convert(t) == ""
+
+
+def test_text_strategy_table_detection():
+    """Whitespace-aligned columns with NO ruled lines (extension beyond
+    the reference's lines-only strategy; opt-in)."""
+    from pdf_parser_spark.layout.analyzer import analyze_page
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    texts = [Text(72, 700, "A paragraph above the table area", "F1", 10)]
+    rows = [("NAME", "QTY", "PRICE"),
+            ("widget", "100", "10.5"),
+            ("gadget", "250", "15.0")]
+    for ri, row in enumerate(rows):
+        y = 600 - ri * 14
+        for x, val in zip((72, 220, 340), row):
+            texts.append(Text(x, y, val, "F1", 10))
+    pdf = parse_pdf(build_pdf([Page(texts=texts)]))
+
+    # default: reference parity -> NO table
+    assert analyze_page(pdf.pages[0]).tables == []
+    # opt-in: whitespace lattice found
+    page = analyze_page(pdf.pages[0], text_tables=True)
+    assert len(page.tables) == 1
+    t = page.tables[0]
+    assert (t.num_rows, t.num_cols) == (3, 3)
+    assert t.has_header
+    cells = {(c.row, c.col): c.text for c in t.cells}
+    assert cells[(1, 0)] == "widget" and cells[(2, 2)] == "15.0"
+    # the paragraph above is untouched
+    assert any("paragraph above" in b.text for b in page.blocks)
+
+
+def test_text_strategy_ignores_prose():
+    """Ordinary paragraphs (single cell per line) must never become
+    tables."""
+    from pdf_parser_spark.layout.analyzer import analyze_page
+    from pdf_parser_spark.datagen.pages import render_pdf_doc
+
+    pdf = parse_pdf(render_pdf_doc(
+        "plain prose words flowing along many lines without columns "
+        "repeated again and again to make several lines", 3))
+    page = analyze_page(pdf.pages[0], text_tables=True)
+    assert page.tables == []
