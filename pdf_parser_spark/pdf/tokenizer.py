@@ -240,6 +240,43 @@ class _Lexer:
         return float(tok) if b"." in tok else int(tok)
 
 
+def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
+    """LZWDecode (PDF spec 7.4.4: TIFF-style LZW, MSB-first variable-width
+    codes 9-12 bits, clear=256, EOD=257, EarlyChange default 1)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in raw:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise PdfError(f"bad LZW code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
 def _rle_decode(raw: bytes) -> bytes:
     """RunLengthDecode (PDF spec 7.4.5)."""
     out = bytearray()
@@ -299,12 +336,20 @@ def _apply_predictor(raw: bytes, parms) -> bytes:
     if not isinstance(parms, dict):
         return raw
     pred = parms.get("Predictor", 1)
-    if not isinstance(pred, (int, float)) or pred < 10:
-        return raw  # 1 = none, 2 = TIFF (unused for xref streams)
+    if not isinstance(pred, (int, float)) or pred < 2:
+        return raw
     columns = int(parms.get("Columns", 1) or 1)
     colors = int(parms.get("Colors", 1) or 1)
     bpc = int(parms.get("BitsPerComponent", 8) or 8)
-    return _png_unpredict(raw, columns, max(1, colors * bpc // 8))
+    bpp = max(1, colors * bpc // 8)
+    if pred == 2:  # TIFF horizontal differencing (8-bit components)
+        out = bytearray(raw)
+        row_len = columns * bpp
+        for r0 in range(0, len(out) - row_len + 1, row_len):
+            for k in range(bpp, row_len):
+                out[r0 + k] = (out[r0 + k] + out[r0 + k - bpp]) & 0xFF
+        return bytes(out)
+    return _png_unpredict(raw, columns, bpp)
 
 
 def _apply_filters(raw: bytes, filters: list, parms_list=None) -> bytes:
@@ -341,6 +386,14 @@ def _apply_filters(raw: bytes, filters: list, parms_list=None) -> bytes:
                 raise PdfError(f"ASCII85Decode failed: {e}") from e
         elif f in ("RunLengthDecode", "RL"):
             raw = _rle_decode(raw)
+        elif f in ("LZWDecode", "LZW"):
+            ec = 1
+            if isinstance(parms, dict):
+                v = parms.get("EarlyChange", 1)
+                if isinstance(v, (int, float)):
+                    ec = int(v)
+            raw = _lzw_decode(raw, ec)
+            raw = _apply_predictor(raw, parms)
         else:
             raise PdfError(f"unsupported filter {f!r}")
     return raw

@@ -364,3 +364,59 @@ def test_pdf15_with_predictor_xref():
     f = parse_pdf(new)
     (span,) = f.pages[0].spans
     assert span.text == "predictor path"
+
+
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """Minimal TIFF-LZW encoder (test helper): emits clear, codes, EOD."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+        else:
+            emit(table[w])
+            table[wb] = next_code
+            next_code += 1
+            if next_code + early_change - 1 > (1 << width) and width < 12:
+                width += 1
+            w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_filter_roundtrip():
+    from pdf_parser_spark.pdf.tokenizer import _apply_filters, _lzw_decode
+
+    payload = (b"BT /F1 12 Tf 72 700 Td (lzw payload text) Tj ET " * 7)
+    enc = _lzw_encode(payload)
+    assert _lzw_decode(enc) == payload
+    assert _apply_filters(enc, ["LZWDecode"]) == payload
+
+
+def test_tiff_predictor2():
+    from pdf_parser_spark.pdf.tokenizer import _apply_predictor
+
+    rows = [b"\x05\x03\x01", b"\x10\x01\x01"]  # differenced
+    raw = b"".join(rows)
+    out = _apply_predictor(raw, {"Predictor": 2, "Columns": 3})
+    assert out == b"\x05\x08\x09\x10\x11\x12"
