@@ -84,12 +84,21 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
         # from it, then release.
         extracted = extracted.cache()
         try:
-            (extracted.write.mode("append")
+            # DYNAMIC partition overwrite makes the chunk write idempotent:
+            # a job killed after writing data but before the manifest row
+            # leaves partial part_id dirs; the resume re-runs the chunk and
+            # REPLACES exactly those partitions instead of appending
+            # duplicates next to them.
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           "dynamic")
+            (extracted.write.mode("overwrite")
              .partitionBy("part_id")
              .parquet(os.path.join(root, "data")))
             (job.lineage(extracted)
              .withColumn("snapshot_id", F.lit(snapshot_id))
-             .write.mode("append").parquet(os.path.join(root, "lineage")))
+             .write.mode("overwrite")
+             .partitionBy("part_id")   # idempotent per-partition, as above
+             .parquet(os.path.join(root, "lineage")))
         finally:
             extracted.unpersist()
         # manifest LAST = commit point

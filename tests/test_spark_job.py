@@ -104,3 +104,43 @@ def test_explain_no_extra_shuffle(spark):
     ext = job.run_extract(pages, n_partitions=8)
     plan = ext._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_resume_after_mid_chunk_kill(spark, tmp_path):
+    """A job killed AFTER writing a chunk's data but BEFORE its manifest
+    row must not duplicate rows on resume (idempotent chunk writes via
+    dynamic partition overwrite)."""
+    import os
+
+    from pdf_parser_spark.engine import checkpoint, source
+
+    root = str(tmp_path / "ckpt2")
+    pages = source.pages_table(spark, SF0001)
+
+    # run chunks 0-1 committed; chunk 2's DATA written manually by running
+    # one more chunk then deleting its manifest rows (simulating the kill
+    # window between data write and manifest append)
+    checkpoint.run_checkpointed(spark, pages, root, "s", n_partitions=8,
+                                chunk_size=2, fail_after_chunks=3)
+    m = spark.read.parquet(f"{root}/manifest")
+    committed = sorted(r.part_id for r in m.collect())
+    assert len(committed) == 6
+    # drop the last chunk's manifest rows but keep its data files
+    keep = committed[:4]
+    kept = m.filter(m.part_id.isin(keep)).toPandas()
+    import shutil
+
+    shutil.rmtree(f"{root}/manifest")
+    spark.createDataFrame(kept).write.mode("overwrite") \
+        .parquet(f"{root}/manifest")
+
+    # resume: partitions 4-7 reprocess; their earlier partial data must be
+    # REPLACED, not duplicated
+    checkpoint.run_checkpointed(spark, pages, root, "s", n_partitions=8,
+                                chunk_size=2)
+    final = checkpoint.read_committed(spark, root, "s")
+    assert final.count() == 500
+    assert final.select("url").distinct().count() == 500
+    lin = spark.read.parquet(f"{root}/lineage")
+    dup = lin.groupBy("part_id").count().filter("count > 1").count()
+    assert dup == 0
