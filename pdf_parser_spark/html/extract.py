@@ -209,10 +209,13 @@ def _table_to_ascii(table_node: _Node) -> str:
     return ascii_table.convert(t)
 
 
-def _walk_blocks(node: _Node, out: list[tuple[str, str, float]]) -> None:
+def _walk_blocks(node: _Node, out: list[tuple[str, str, float]],
+                 in_anchor: bool = False) -> None:
     """Emit (tag, text, link_density) for each block element that has
     direct inline content; recurse into nested blocks in document order.
-    <table> elements are rendered whole (ASCII) and not recursed."""
+    <table> elements are rendered whole (ASCII) and not recursed.
+    ``in_anchor`` tracks block elements nested INSIDE <a> (link menus
+    structured as <a><div>..</div></a>) so their text counts as linky."""
     for ch in node.children:
         if ch.tag in HTML.drop_tags:
             continue
@@ -224,10 +227,10 @@ def _walk_blocks(node: _Node, out: list[tuple[str, str, float]]) -> None:
             # degenerate table: fall through to plain text handling
         if ch.tag == "" or ch.tag not in HTML.block_tags:
             if ch.tag:
-                _walk_blocks(ch, out)
+                _walk_blocks(ch, out, in_anchor or ch.tag == "a")
             continue
         pieces: list[tuple[str, bool]] = []
-        _texts(ch, False, pieces)
+        _texts(ch, in_anchor, pieces)
         raw = "".join(p for p, _ in pieces)
         text = _WS_RE.sub(" ", raw).strip()
         if text:
@@ -236,7 +239,7 @@ def _walk_blocks(node: _Node, out: list[tuple[str, str, float]]) -> None:
                         for p, a in pieces if a)
             density = linky / total if total else 0.0
             out.append((ch.tag, text, density))
-        _walk_blocks(ch, out)
+        _walk_blocks(ch, out, in_anchor)
 
 
 def extract_html(data: bytes, fast: bool = True) -> dict:

@@ -127,3 +127,16 @@ def test_degenerate_html_table_falls_back_to_text():
     res = extract_html(html)
     assert "only one cell" in res["text"]
     assert "+" not in res["text"]
+
+
+def test_block_inside_anchor_counts_as_linky():
+    """<a><div>menu text</div></a> must be treated as link text (density
+    1), not content."""
+    html = (b"<html><body>"
+            b'<a href="/x"><div>Shop the entire catalog right now</div>'
+            b"</a>"
+            b"<p>Actual article content that is long enough to keep.</p>"
+            b"</body></html>")
+    res = extract_html(html)
+    assert "Shop the entire catalog" not in res["text"]
+    assert "Actual article content" in res["text"]
