@@ -272,7 +272,10 @@ def _lzw_decode(raw: bytes, early_change: int = 1) -> bytes:
             if prev is not None:
                 table.append(prev + entry[:1])
             prev = entry
-            if len(table) + early_change - 1 >= (1 << width) and width < 12:
+            # EarlyChange=1 bumps at table len 511/1023/2047 (one entry
+            # before the width is exhausted; pdfminer/pdf.js-compatible),
+            # EarlyChange=0 at 512/1024/2048.
+            if len(table) + early_change >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 

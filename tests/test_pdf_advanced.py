@@ -393,7 +393,16 @@ def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
             emit(table[w])
             table[wb] = next_code
             next_code += 1
-            if next_code + early_change - 1 > (1 << width) and width < 12:
+            if next_code + early_change >= 4096:
+                # table full: emit Clear at the current width, reset
+                emit(256)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            elif (next_code + early_change - 1 >= (1 << width)
+                  and width < 12):
+                # decoder's table lags one entry behind next_code, so its
+                # EarlyChange bump (at len 511/1023/2047) lands exactly here
                 width += 1
             w = bytes([b])
     if w:
@@ -411,6 +420,34 @@ def test_lzw_filter_roundtrip():
     enc = _lzw_encode(payload)
     assert _lzw_decode(enc) == payload
     assert _apply_filters(enc, ["LZWDecode"]) == payload
+
+
+def test_lzw_width_transitions_high_entropy():
+    """Spec-conformant width schedule: a high-entropy payload that pushes
+    the table through the 9->10->11->12 transitions and past a table-full
+    Clear must roundtrip for both EarlyChange settings. Guards the
+    511/1023/2047 (EarlyChange=1) bump boundaries pdfminer/pdf.js use."""
+    import random
+
+    from pdf_parser_spark.pdf.tokenizer import _lzw_decode
+
+    rng = random.Random(0xC0DE)
+    payload = bytes(rng.randrange(256) for _ in range(12000))
+    for ec in (1, 0):
+        assert _lzw_decode(_lzw_encode(payload, ec), ec) == payload
+
+
+def test_lzw_exact_boundary_stream():
+    """Pin the decoder's bump points with a payload sized to cross the
+    9->10 transition exactly: 300 distinct two-byte sequences create >511
+    table entries; a decoder bumping one entry late desyncs here."""
+    from pdf_parser_spark.pdf.tokenizer import _lzw_decode
+
+    # ~600 emissions of fresh 2-grams -> table passes 511 mid-stream
+    payload = bytes(
+        b for i in range(400) for b in ((i * 7) % 256, (i * 13 + 5) % 256))
+    assert _lzw_decode(_lzw_encode(payload, 1), 1) == payload
+    assert _lzw_decode(_lzw_encode(payload, 0), 0) == payload
 
 
 def test_tiff_predictor2():
