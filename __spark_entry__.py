@@ -232,13 +232,15 @@ def _sql_ann_lsh(dim: int = 64, nbits: int = 8, budget: int = 2,
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: deterministic coarse quantizer + inverted-list probe +
-    exact rerank (the scale path beside sign-LSH)."""
+    """IVF ANN: k-means-refined coarse quantizer (1 deterministic Lloyd
+    step), expression-level centroid argmax (no Exchange before
+    assignment), broadcast probe join, two-stage top-k."""
     from pdf_parser_spark.analytics import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, similarity.make_queries(emb),
-                               n_centroids=16, nprobe=4, k=10)
+                               n_centroids=16, nprobe=4, k=10,
+                               kmeans_iters=1)
 
 
 def _sql_cos2(a: str, b: str) -> str:
@@ -253,20 +255,37 @@ def _sql_cos2(a: str, b: str) -> str:
 
 
 def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4,
-                 k: int = 10) -> str:
+                 k: int = 10, dim: int = 64) -> str:
+    """Mirrors similarity.ivf_topk with kmeans_iters=1: seed centroids
+    (vec_id < n) -> one Lloyd step (assign by max cosine, elementwise
+    avg per cluster, 6-dp rounded; empty clusters keep the rounded
+    seed) -> assignment/probes against the REFINED centroids."""
     return (
-        f"WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb "
+        f"WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb "
         f"FROM embeddings WHERE vec_id < {n_centroids}), "
+        "asg0 AS (SELECT vec_id, embedding, cent_id AS centroid FROM ("
+        "SELECT e.vec_id, e.embedding, c.cent_id, row_number() OVER ("
+        "PARTITION BY e.vec_id ORDER BY "
+        + _sql_cos2("e.embedding", "c.cent_emb")
+        + " DESC, c.cent_id) AS r FROM embeddings e, cent0 c) WHERE r = 1), "
+        "avg1 AS (SELECT a.centroid AS cent_id, r.i AS i, "
+        "round(avg(CAST(a.embedding[r.i] AS DOUBLE)), 6) AS v "
+        f"FROM asg0 a, range(1, {dim + 1}) r(i) GROUP BY a.centroid, r.i), "
+        "cmean AS (SELECT cent_id, list(v ORDER BY i) AS cent_emb "
+        "FROM avg1 GROUP BY cent_id), "
+        "cent1 AS (SELECT c0.cent_id, coalesce(m.cent_emb, "
+        "list_transform(c0.cent_emb, x -> round(CAST(x AS DOUBLE), 6))) "
+        "AS cent_emb FROM cent0 c0 LEFT JOIN cmean m USING (cent_id)), "
         "asg AS (SELECT vec_id, embedding, cent_id AS centroid FROM ("
         "SELECT e.vec_id, e.embedding, c.cent_id, row_number() OVER ("
         "PARTITION BY e.vec_id ORDER BY "
         + _sql_cos2("e.embedding", "c.cent_emb")
-        + " DESC, c.cent_id) AS r FROM embeddings e, cents c) WHERE r = 1), "
+        + " DESC, c.cent_id) AS r FROM embeddings e, cent1 c) WHERE r = 1), "
         "probes AS (SELECT q_id, q_emb, cent_id AS centroid FROM ("
         "SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
         + _sql_cos2("q.embedding", "c.cent_emb")
-        + " DESC, c.cent_id) AS r FROM embeddings q, cents c "
+        + " DESC, c.cent_id) AS r FROM embeddings q, cent1 c "
         f"WHERE q.vec_id < 5) WHERE r <= {nprobe}), "
         "scored AS (SELECT p.q_id, a.vec_id AS neighbor_id, "
         + _sql_cos2("p.q_emb", "a.embedding")
@@ -280,8 +299,9 @@ def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4,
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (dedup family; exact pairwise at
-    oracle scale, LSH-bucketed variant covered by tests)."""
+    """Embedding-cosine near-dup pairs (dedup family): exact
+    block-tiled distributed GEMM — no driver collect; LSH-bucketed
+    approximate variant covered by tests."""
     from pdf_parser_spark.analytics import similarity
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -363,21 +383,31 @@ def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data pipeline capstone: exact-dedup survivors that pass
     quality gates, with language and token budget — the composed
-    dedup -> quality -> lang-id filter a 100 TB corpus run applies."""
-    from pdf_parser_spark.analytics import dedup, text as T
+    dedup -> quality -> lang-id filter a 100 TB corpus run applies.
+
+    Plan shape: ONE corpus shuffle total. The canonical-doc filter is a
+    window-min over the content hash (replacing the old groupBy +
+    doc_id equi-join, which shuffled the corpus twice more), and the
+    quality + lang features are pure projections computed TOGETHER in a
+    single select over the survivors — not three separate joins."""
+    from pyspark.sql.window import Window
+
+    from pdf_parser_spark.analytics import text as T
 
     docs = _docs(spark, sf_dir)
-    canon = (dedup.exact_duplicates(docs)
-             .select(F.col("canonical_doc_id").alias("doc_id")))
-    q = T.quality_features(docs).select(
-        "doc_id", "n_tokens", "quality_score")
-    lf = T.lang_features(docs).select("doc_id", "lang_guess")
-    return (docs.select("doc_id", "lang")
-            .join(canon, "doc_id")            # dedup survivors
-            .join(q, "doc_id")
-            .join(lf, "doc_id")
-            .where((F.col("quality_score") >= 0.5)
-                   & (F.col("n_tokens") >= 20))
+    w = Window.partitionBy(F.md5(F.encode("text", "UTF-8")))
+    survivors = (docs.select("doc_id", "lang", "text")
+                 .withColumn("_canon", F.min("doc_id").over(w))
+                 .where(F.col("doc_id") == F.col("_canon")))
+    qx = T.quality_exprs(F.col("text"))
+    hits = T.lang_hit_exprs(F.col("text"))
+    feat = survivors.select(
+        "doc_id", "lang",
+        T.lang_guess_expr(hits).alias("lang_guess"),
+        qx["n_tokens"].alias("n_tokens"),
+        qx["quality_score"].alias("quality_score"))
+    return (feat.where((F.col("quality_score") >= 0.5)
+                       & (F.col("n_tokens") >= 20))
             .select("doc_id", "lang", "lang_guess", "n_tokens",
                     F.round("quality_score", 6).alias("quality_score")))
 

@@ -86,12 +86,28 @@ def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
-                        bands: int = N_BANDS) -> DataFrame:
+                        bands: int = N_BANDS,
+                        persist: bool = True) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: band the signature, bucket
     by the banded signature slice, emit intra-bucket pairs with exact
-    hashed-shingle Jaccard similarity."""
+    hashed-shingle Jaccard similarity.
+
+    ONE tokenize+hash pass over the corpus: the narrow (doc_id,
+    distinct-shingles) frame is computed once and persisted, then feeds
+    BOTH the banding branch (minhash over the distinct set — array_min
+    is multiset-invariant, so this equals with_minhash's value) and the
+    rerank branch. Catalyst does not CSE across the self-join, so
+    without the persist each branch would re-tokenize the corpus."""
     rows = N_MINHASH // bands
-    sig = with_minhash(docs, text_col)
+    base = (with_shingle_hashes(docs, text_col)
+            .select("doc_id", F.array_distinct("sh").alias("shd")))
+    if persist:
+        base = base.persist()
+    sig = base
+    for j in range(N_MINHASH):
+        a, b = perm_params(j)
+        sig = sig.withColumn(
+            f"mh{j}", F.array_min(F.transform("shd", _perm(a, b))))
     # narrow banding rows only (no arrays through the join shuffle)
     banded = sig.select(
         "doc_id",
@@ -110,13 +126,11 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sh = (with_shingle_hashes(docs, text_col)
-          .select("doc_id", F.array_distinct("sh").alias("shd")))
     pairs = (pairs
-             .join(sh.select(F.col("doc_id").alias("doc_a"),
-                             F.col("shd").alias("sh_a")), "doc_a")
-             .join(sh.select(F.col("doc_id").alias("doc_b"),
-                             F.col("shd").alias("sh_b")), "doc_b"))
+             .join(base.select(F.col("doc_id").alias("doc_a"),
+                               F.col("shd").alias("sh_a")), "doc_a")
+             .join(base.select(F.col("doc_id").alias("doc_b"),
+                               F.col("shd").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return pairs.select("doc_a", "doc_b",

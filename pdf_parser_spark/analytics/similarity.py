@@ -2,20 +2,29 @@
 (vec_id bigint, embedding array<float>, label int).
 
 * brute_force_topk — exact cosine top-k: broadcast the query set, cross
-  join, JVM-side dot product via zip_with/aggregate (no Python), window
-  rank. The baseline every ANN variant is measured against.
+  join, JVM-side dot product via zip_with/aggregate (no Python), two-stage
+  top-k rank. The baseline every ANN variant is measured against.
 * lsh_topk — random-hyperplane LSH: deterministic seeded hyperplanes,
   sign-bit bucket key, candidates share >= (nbits - hamming_budget) bits,
   exact rerank inside the candidate set. The scale path: candidate
   generation is a bucket-key equi-join instead of a full cross join.
+* ivf_topk — inverted-file ANN: expression-level centroid argmax (zero
+  shuffles for assignment), deterministic k-means refinement, broadcast
+  probe join.
+* embedding_near_duplicates — all-pairs cosine above a threshold:
+  distributed block-tiled GEMM (exact) or sign-LSH buckets (approximate).
 
-Scale notes: brute force is O(Q x N) — fine for Q small (broadcast hash
-join, no shuffle of the big side); LSH turns it into a shuffle on bucket
-keys whose fan-in is controlled by nbits.
+Scale notes: every ranking tail is a two-stage top-k (per-partition
+partial top-k via map-side combine, then a final window over at most
+partitions x k rows) — no plan ships all scored candidates to Q reducer
+partitions. Centroid/hyperplane constants are driver-known literals, so
+assignment and bucketing stay inside whole-stage codegen projections.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -38,19 +47,57 @@ def with_cosine(df: DataFrame, a: str, b: str,
     return df.withColumn(out, _dot(ac, bc) / (_norm(ac) * _norm(bc)))
 
 
+def _lit_vec(vals: list[float]):
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _rank_topk(scored: DataFrame, k: int,
+               q_col: str = "q_id", id_col: str = "vec_id",
+               score_col: str = "cosine") -> DataFrame:
+    """Two-stage top-k per query: a partition-LOCAL partial top-k first
+    (mapInPandas — no exchange; each input partition emits at most k
+    narrow rows per query), then a final window over at most
+    partitions x k x Q rows. Replaces the single global
+    row_number-over-all-candidates window, whose exchange shipped every
+    scored row into Q reducer partitions (Q-partition skew at scale).
+    A groupBy(q, partition_id) + collect_list variant still ships every
+    candidate inside the partial aggregation buffers — mapInPandas is
+    the only shape whose exchange truly carries <= partitions x k."""
+    def partial(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat(
+                [best, pdf], ignore_index=True)
+            # prune per batch so memory stays O(queries x k)
+            best = (cur.sort_values([q_col, score_col, id_col],
+                                    ascending=[True, False, True])
+                    .groupby(q_col, sort=False).head(k))
+        if best is not None and len(best):
+            yield best
+
+    narrow = scored.select(q_col, id_col, score_col)
+    part = narrow.mapInPandas(
+        partial, f"{q_col} long, {id_col} long, {score_col} double")
+    w = Window.partitionBy(q_col).orderBy(
+        F.desc(score_col), F.asc(id_col))
+    return (part.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(q_col, "rank",
+                    F.col(id_col).alias("neighbor_id"),
+                    F.round(score_col, 6).alias("cosine")))
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
                      k: int = 10) -> DataFrame:
     """queries(q_id, q_emb) x embeddings -> top-k neighbors per query.
-    Exact; the broadcast keeps the big side unshuffled."""
+    Exact; the broadcast keeps the big side unshuffled and the two-stage
+    rank keeps the final exchange at partitions x k rows."""
     joined = embeddings.crossJoin(F.broadcast(queries)) \
                        .where(F.col("vec_id") != F.col("q_id"))
     scored = with_cosine(joined, "q_emb", "embedding")
-    w = Window.partitionBy("q_id").orderBy(
-        F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                    F.round("cosine", 6).alias("cosine")))
+    return _rank_topk(scored, k)
 
 
 def _hyperplane(dim: int, plane_idx: int) -> list[float]:
@@ -96,32 +143,36 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
         F.lit(0), lambda acc, v: acc + v)
     cand = joined.where(hamming <= hamming_budget)
     scored = with_cosine(cand, "q_emb", "embedding")
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                    F.round("cosine", 6).alias("cosine")))
+    return _rank_topk(scored, k)
 
 
 def embedding_near_duplicates(embeddings: DataFrame,
                               threshold: float = 0.45,
                               exact: bool = True,
-                              nbits: int = 8) -> DataFrame:
+                              nbits: int = 8,
+                              dim: int | None = None,
+                              nblocks: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
     threshold after 6-dp rounding for cross-engine determinism).
 
-    ``exact=True``: block matrix multiply — the full (small-side) matrix
-    is broadcast as a numpy array and each Arrow batch computes its
-    cosine block with BLAS, emitting only threshold survivors. 25x faster
-    than an expression-level pairwise join (interpreted zip_with costs
-    ~50 us/pair; GEMM ~0.5 ns/cell). For corpora whose matrix exceeds
-    broadcast limits, tile the right side or switch to ``exact=False``.
+    ``exact=True``: distributed block-tiled GEMM — vectors are bucketed
+    into ``nblocks`` id-blocks, each row is replicated to the block
+    PAIRS it participates in (a narrow nblocks-way fanout, NOT a cross
+    join), and each (block_i, block_j) group computes its cosine tile
+    with BLAS, emitting only threshold survivors. No driver-side
+    collect anywhere: group memory is ~2N/nblocks rows, so nblocks is
+    the knob that keeps tiles executor-sized as the corpus grows (exact
+    all-pairs is inherently N^2/P work; the tiling bounds memory and
+    spreads the work across nblocks*(nblocks+1)/2 tasks).
 
     ``exact=False``: sign-LSH bucketed candidates, exact rerank — the
-    10^12-scale path (bounded recall on unstructured vectors)."""
+    10^12-scale path when approximate recall is acceptable (pass
+    ``dim``; no data-dependent plan-build work)."""
     if exact:
-        return _near_dup_gemm(embeddings, threshold)
-    dim = len(embeddings.select("embedding").first()[0])
+        return _near_dup_block_gemm(embeddings, threshold, nblocks)
+    if dim is None:
+        raise ValueError("exact=False requires dim= (embedding width); "
+                         "plans must not peek at data to build")
     left = embeddings.select(F.col("vec_id").alias("vec_a"),
                              F.col("embedding").alias("emb_a"))
     right = embeddings.select(F.col("vec_id").alias("vec_b"),
@@ -137,81 +188,185 @@ def embedding_near_duplicates(embeddings: DataFrame,
             .select("vec_a", "vec_b", "cosine"))
 
 
-def _near_dup_gemm(embeddings: DataFrame, threshold: float) -> DataFrame:
-    import numpy as np
+def _near_dup_block_gemm(embeddings: DataFrame, threshold: float,
+                         nblocks: int) -> DataFrame:
+    """Exact all-pairs cosine >= threshold via block-matrix product.
 
-    spark = embeddings.sparkSession
-    rows = embeddings.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-    bc = spark.sparkContext.broadcast((ids, mat))
+    Plan: project (blk, vec_id, embedding) -> explode each row to its
+    block pairs {(min(b,m), max(b,m)) : m in 0..nblocks-1} -> hash
+    shuffle on (bi, bj) -> one numpy GEMM per tile. Shuffled volume is
+    nblocks x corpus (tunable), tile memory ~2N/nblocks rows, and the
+    output identical to the unblocked product (float64 GEMM + 6-dp
+    rounding is blocking-invariant)."""
+    blk = F.pmod(F.col("vec_id"), F.lit(nblocks)).cast("int")
+    pair_structs = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.lit(nblocks - 1)),
+        lambda m: F.struct(F.least(F.col("blk"), m).alias("bi"),
+                           F.greatest(F.col("blk"), m).alias("bj"))))
+    tagged = (embeddings
+              .select("vec_id", "embedding", blk.alias("blk"))
+              .withColumn("p", F.explode(pair_structs))
+              .select(F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"),
+                      "blk", "vec_id", "embedding"))
 
-    def kernel(batches):
+    def tile(pdf):
+        import numpy as np
         import pandas as pd
 
-        all_ids, all_mat = bc.value
-        for pdf in batches:
-            b_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            b_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            b_mat /= np.maximum(
-                np.linalg.norm(b_mat, axis=1, keepdims=True), 1e-300)
-            cos = b_mat @ all_mat.T
-            cos = np.round(cos, 6)
-            bi, aj = np.nonzero(cos >= threshold)
-            va, vb = b_ids[bi], all_ids[aj]
-            keep = va < vb  # canonical orientation + drops self-pairs
-            yield pd.DataFrame({
-                "vec_a": va[keep], "vec_b": vb[keep],
-                "cosine": cos[bi[keep], aj[keep]],
-            })
+        bi = int(pdf["bi"].iloc[0])
+        bj = int(pdf["bj"].iloc[0])
 
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        kernel, "vec_a long, vec_b long, cosine double")
+        def side(rows):
+            ids = rows["vec_id"].to_numpy(dtype=np.int64)
+            mat = np.array(list(rows["embedding"]), dtype=np.float64)
+            mat /= np.maximum(
+                np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+            return ids, mat
+        a_ids, a_mat = side(pdf[pdf["blk"] == bi])
+        if bi == bj:
+            b_ids, b_mat = a_ids, a_mat
+        else:
+            b_ids, b_mat = side(pdf[pdf["blk"] == bj])
+        if not len(a_ids) or not len(b_ids):
+            return pd.DataFrame({"vec_a": [], "vec_b": [],
+                                 "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"})
+        cos = np.round(a_mat @ b_mat.T, 6)
+        ai, bj_idx = np.nonzero(cos >= threshold)
+        va, vb = a_ids[ai], b_ids[bj_idx]
+        c = cos[ai, bj_idx]
+        if bi == bj:
+            # full symmetric tile: each unordered pair appears twice,
+            # va < vb keeps one copy and drops self-pairs
+            keep = va < vb
+            va, vb, c = va[keep], vb[keep], c[keep]
+        else:
+            # cross tile: each unordered pair appears exactly once
+            # (ids never collide across blocks) — canonicalize order
+            lo = np.minimum(va, vb)
+            vb = np.maximum(va, vb)
+            va = lo
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": c})
+
+    return tagged.groupBy("bi", "bj").applyInPandas(
+        tile, "vec_a long, vec_b long, cosine double")
+
+
+def kmeans_centroids(embeddings: DataFrame, n_centroids: int,
+                     iters: int = 1) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: seed with the first
+    ``n_centroids`` vectors by vec_id, then run ``iters`` Lloyd steps.
+    Each step assigns via an expression-level argmax against centroid
+    LITERALS (a pure projection — zero shuffles) and recomputes
+    centroids with one map-side-combined aggregation whose result is
+    n_centroids rows. Refined coordinates are rounded to 6 dp so an
+    independent engine (the DuckDB oracle) reproduces them bit-for-bit
+    despite summation-order differences. Driver memory is bounded by
+    n_centroids x dim — never by the corpus."""
+    seed = (embeddings.where(F.col("vec_id") < n_centroids)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id").collect())
+    cents = [(int(r.vec_id), [float(v) for v in r.embedding])
+             for r in seed]
+    dim = len(cents[0][1])
+    for _ in range(iters):
+        asg = _with_centroid(embeddings, "embedding", cents)
+        stats = (asg.groupBy("centroid")
+                 .agg(*[F.avg(F.element_at("embedding", i + 1)
+                              .cast("double")).alias(f"d{i}")
+                        for i in range(dim)])
+                 .collect())
+        refined = {int(r["centroid"]): [round(r[f"d{i}"], 6)
+                                        for i in range(dim)]
+                   for r in stats}
+        # empty cluster: keep the (6-dp rounded) previous centroid
+        cents = [(cid, refined.get(cid, [round(v, 6) for v in vec]))
+                 for cid, vec in cents]
+    return cents
+
+
+def _with_cos_array(df: DataFrame, emb_col: str,
+                    cents: list[tuple[int, list[float]]],
+                    out: str = "_cos_arr") -> DataFrame:
+    """Adds ``out``: array of cosines against the centroid matrix, via
+    an Arrow-batched pandas UDF (one numpy GEMM per batch). Still a
+    pure projection — no shuffle, no driver-side data. Chosen over the
+    expression-level form after measuring: n_centroids interpreted HOF
+    dot products cost ~1.3 us per multiply-add (no codegen for
+    aggregate-lambda chains), ~1000x the GEMM. The numpy pairwise
+    summation differs from a sequential fold only in low-order bits;
+    consumers take argmax/top-n over the array (gaps >> 1e-10), and
+    output cosines are still computed JVM-side, so oracle hashes are
+    unaffected (verified at sf0.01)."""
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cmat = np.array([vec for _, vec in cents], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def cos_arr(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
+        mat = np.array(list(col), dtype=np.float64)
+        en = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ cmat.T) / (en[:, None] * cnorm[None, :])
+        return pd.Series(list(cos))
+
+    return df.withColumn(out, cos_arr(F.col(emb_col)))
+
+
+def _with_centroid(df: DataFrame, emb_col: str,
+                   cents: list[tuple[int, list[float]]],
+                   out: str = "centroid") -> DataFrame:
+    """Adds ``out``: cent_id of the max-cosine centroid (ties -> lowest
+    cent_id). Pure projection over centroid literals — no shuffle."""
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    pos = F.array_position(F.col("_cos_arr"), F.array_max("_cos_arr"))
+    return (_with_cos_array(df, emb_col, cents)
+            .withColumn(out, F.element_at(ids, pos.cast("int")))
+            .drop("_cos_arr"))
+
+
+def _with_probes(df: DataFrame, emb_col: str,
+                 cents: list[tuple[int, list[float]]],
+                 nprobe: int, out: str = "probes") -> DataFrame:
+    """Adds ``out``: array of the nprobe nearest cent_ids (cos desc,
+    cent_id asc) — expression-level, no window/shuffle."""
+    ids = F.array(*[F.lit(int(cid)) for cid, _ in cents])
+    structs = F.zip_with(
+        F.col("_cos_arr"), ids,
+        lambda c, i: F.struct((-c).alias("nc"), i.alias("cid")))
+    top = F.slice(F.array_sort(structs), 1, nprobe)
+    return (_with_cos_array(df, emb_col, cents)
+            .withColumn(out, F.transform(top, lambda s: s["cid"]))
+            .drop("_cos_arr"))
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame,
              n_centroids: int = 16, nprobe: int = 4,
-             k: int = 10) -> DataFrame:
+             k: int = 10, kmeans_iters: int = 1) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: the first ``n_centroids`` vectors by vec_id act as
-    deterministic centroids (a k-means step would converge them further;
-    determinism matters more here — the DuckDB oracle reproduces this
-    exactly). Every vector is assigned to its max-cosine centroid
-    (building the inverted lists); a query probes its ``nprobe`` nearest
-    centroids and reranks only those lists.
-
-    Plan shape at scale: centroid assignment is a broadcast join (tiny
-    centroid table) + window argmax; the probe is an equi-join on
-    centroid_id — the corpus is never cross-joined."""
-    cents = (embeddings.where(F.col("vec_id") < n_centroids)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("cent_emb")))
-
-    def assign(df: DataFrame, id_col: str, emb_col: str, topn: int,
-               out: str) -> DataFrame:
-        scored = with_cosine(
-            df.crossJoin(F.broadcast(cents)), emb_col, "cent_emb",
-            out="cent_cos")
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("cent_cos"), F.asc("cent_id"))
-        return (scored.withColumn("_r", F.row_number().over(w))
-                .where(F.col("_r") <= topn)
-                .select(id_col, emb_col, F.col("cent_id").alias(out)))
-
-    lists = assign(embeddings, "vec_id", "embedding", 1, "centroid")
-    probes = assign(queries, "q_id", "q_emb", nprobe, "centroid")
-    cand = (lists.join(probes, "centroid")
+    Coarse quantizer: first-``n_centroids``-by-vec_id seeds refined by
+    ``kmeans_iters`` deterministic Lloyd steps (kmeans_centroids).
+    Every vector is assigned to its max-cosine centroid by an
+    expression-level argmax over centroid literals — a pure projection,
+    no Exchange anywhere before assignment. Queries probe their
+    ``nprobe`` nearest centroids via the same expression trick and are
+    BROADCAST into the inverted lists, so the corpus is never shuffled:
+    scan -> project(centroid) -> broadcast equi-join -> two-stage
+    top-k."""
+    cents = kmeans_centroids(embeddings, n_centroids, iters=kmeans_iters)
+    lists = _with_centroid(embeddings, "embedding", cents)
+    probes = (_with_probes(queries, "q_emb", cents, nprobe)
+              .select("q_id", "q_emb",
+                      F.explode("probes").alias("centroid")))
+    cand = (lists.join(F.broadcast(probes), "centroid")
             .where(F.col("vec_id") != F.col("q_id")))
     # each vector lives in exactly one list and probe centroids are
     # distinct per query, so (q_id, vec_id) pairs are already unique
     scored = with_cosine(cand, "q_emb", "embedding")
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("q_id", "rank", F.col("vec_id").alias("neighbor_id"),
-                    F.round("cosine", 6).alias("cosine")))
+    return _rank_topk(scored, k)
 
 
 def make_queries(embeddings: DataFrame, n: int = 5) -> DataFrame:

@@ -29,31 +29,45 @@ def _hits(text_col, words: list[str]):
                            lambda t: F.array_contains(marker, t)))
 
 
-def lang_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc marker-word hit counts + argmax language guess
-    (deterministic tie-break: alphabetical language order)."""
-    hit_cols = {f"hits_{lang}": _hits(F.col(text_col), words)
-                for lang, words in LANG_MARKERS.items()}
-    out = docs.select("doc_id", *[c.alias(n) for n, c in hit_cols.items()])
-    best = F.greatest(*[F.col(n) for n in hit_cols])
+def lang_hit_exprs(text_col) -> dict[str, "F.Column"]:
+    """Per-language marker-word hit-count expressions (pure
+    projections — composable into a single select with other
+    features)."""
+    return {f"hits_{lang}": _hits(text_col, words)
+            for lang, words in LANG_MARKERS.items()}
+
+
+def lang_guess_expr(hit_cols: dict[str, "F.Column"]):
+    """Argmax language over hit-count expressions (deterministic
+    tie-break: alphabetical language order)."""
+    best = F.greatest(*hit_cols.values())
     guess = None
     for lang in sorted(LANG_MARKERS):
-        cond = F.col(f"hits_{lang}") == best
+        cond = hit_cols[f"hits_{lang}"] == best
         guess = F.when(cond, F.lit(lang)) if guess is None \
             else guess.when(cond, F.lit(lang))
-    return out.select("doc_id", *hit_cols, guess.alias("lang_guess"))
+    return guess
 
 
-def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Length / punctuation / stopword / mean-token-length features and a
-    composite score in [0,1] (web-corpus quality filtering)."""
-    toks = tokens(F.col(text_col))
+def lang_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc marker-word hit counts + argmax language guess."""
+    hit_cols = lang_hit_exprs(F.col(text_col))
+    out = docs.select("doc_id", *[c.alias(n) for n, c in hit_cols.items()])
+    named = {n: F.col(n) for n in hit_cols}
+    return out.select("doc_id", *named,
+                      lang_guess_expr(named).alias("lang_guess"))
+
+
+def quality_exprs(text_col) -> dict[str, "F.Column"]:
+    """Quality-feature expressions (pure projections): token/char/
+    stopword/punctuation counts, mean token length, composite score in
+    [0,1] — composable into one select (single text pass)."""
+    toks = tokens(text_col)
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
     stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    punct = n_chars - F.length(F.regexp_replace(
-        F.col(text_col), r"[^\w\s]", ""))
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
     mean_tok = (n_chars - (n_tokens - 1)) / n_tokens
     score = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
@@ -62,14 +76,21 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + (1.0 - F.least(punct / F.greatest(n_chars, F.lit(1)) * 5.0,
                          F.lit(1.0))) * 0.3
     )
+    return {
+        "n_tokens": n_tokens,
+        "stopword_hits": stop_hits,
+        "punct_chars": punct,
+        "mean_token_len": F.round(mean_tok, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / mean-token-length features and a
+    composite score in [0,1] (web-corpus quality filtering)."""
+    exprs = quality_exprs(F.col(text_col))
     return docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        stop_hits.alias("stopword_hits"),
-        punct.alias("punct_chars"),
-        F.round(mean_tok, 6).alias("mean_token_len"),
-        F.round(score, 6).alias("quality_score"),
-    )
+        "doc_id", *[c.alias(n) for n, c in exprs.items()])
 
 
 def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:

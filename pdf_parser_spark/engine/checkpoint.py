@@ -88,15 +88,16 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
             # a job killed after writing data but before the manifest row
             # leaves partial part_id dirs; the resume re-runs the chunk and
             # REPLACES exactly those partitions instead of appending
-            # duplicates next to them.
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           "dynamic")
+            # duplicates next to them. Set per-write (not on the shared
+            # session) so unrelated overwrites keep their own semantics.
             (extracted.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
              .partitionBy("part_id")
              .parquet(os.path.join(root, "data")))
             (job.lineage(extracted)
              .withColumn("snapshot_id", F.lit(snapshot_id))
              .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
              .partitionBy("part_id")   # idempotent per-partition, as above
              .parquet(os.path.join(root, "lineage")))
         finally:
