@@ -54,6 +54,16 @@ def doc_kind(doc_id: int) -> str:
     return "html"
 
 
+def encrypt_for(doc_id: int) -> dict | None:
+    """doc_id % 20 == 5 -> RC4-128 standard-security encryption with an
+    EMPTY user password: parses with no password (like PyMuPDF's
+    open-time attempt), so the routing/roundtrip oracles are unchanged
+    while the pipeline exercises decryption end-to-end."""
+    if doc_id % 20 == 5:
+        return {"method": "rc4-128", "user_pw": ""}
+    return None
+
+
 def wrap_words(text: str, width: int = WRAP_CHARS) -> list[str]:
     """Word-boundary wrap; never splits a word (words longer than width
     get their own line)."""
@@ -99,7 +109,8 @@ def render_pdf_doc(text: str, doc_id: int) -> bytes:
         y -= PARA_GAP - LEADING
     if texts or not pages:
         pages.append(Page(texts=texts))
-    return build_pdf(pages, info={"Title": f"Document {doc_id}"})
+    return build_pdf(pages, info={"Title": f"Document {doc_id}"},
+                     encrypt=encrypt_for(doc_id))
 
 
 def _chunks(seq: list, k: int):

@@ -47,13 +47,14 @@ class PageRangeError(ValueError):
 
 
 def parse_pdf_document(url: str, data: bytes, start_page: int = 1,
-                       end_page: int | None = None) -> DocIR:
+                       end_page: int | None = None,
+                       password: str | None = None) -> DocIR:
     """bytes -> DocIR with per-page fallback (reference document.py:270-283)
     and the reference's page-range semantics (document.py:218-261):
     start < 1 raises; end > page_count clamps; start > end raises.
     In the Spark pipeline the same selection is a pushed-down
     ``filter(col("page_number").between(lo, hi))`` on page rows."""
-    pdf = parse_pdf(data)
+    pdf = parse_pdf(data, password)
     n = len(pdf.pages)
     if start_page < 1:
         raise PageRangeError(f"Start page must be >= 1, got {start_page}")

@@ -19,6 +19,7 @@ the reference does (tables/detector.py:208-214).
 
 from __future__ import annotations
 
+import math
 import re
 import zlib
 from dataclasses import dataclass, field
@@ -416,7 +417,7 @@ class _Doc:
     doing this); falls back to a full byte scan like real-world repair
     parsers when the xref is damaged."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: str | None = None):
         if not data:
             raise PdfError("empty bytes")
         if b"%PDF-" not in data[:1024]:
@@ -426,18 +427,58 @@ class _Doc:
         self.compressed: dict[int, tuple[int, int]] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._xref_trailer: dict | None = None
+        self._crypt = None
+        self._cache: dict[int, object] = {}
         self.objs: dict[int, int] = (self._parse_xref()
                                      or self._parse_xref_stream()
                                      or self._scan_objects())
         if not self.objs and not self.compressed:
             raise PdfError("no indirect objects found")
         self.trailer = self._xref_trailer or self._find_trailer()
-        # Encrypted documents: reference core/document.py:109-123 attempts
-        # decryption with a password; we surface the error path (no
-        # password channel in the pages table).
         if isinstance(self.trailer, dict) and "Encrypt" in self.trailer:
-            raise PdfError("document is encrypted (no password provided)")
-        self._cache: dict[int, object] = {}
+            self._setup_decryption(password)
+
+    def _setup_decryption(self, password: str | None) -> None:
+        """Standard security handler (reference core/document.py:109-123
+        semantics: decrypt on load; distinct errors for 'no password' vs
+        'invalid password'). PDFs whose USER password is empty — the
+        most common encrypted corpus case — authenticate with no
+        password supplied, exactly like PyMuPDF's open-time attempt."""
+        from . import crypto
+
+        enc_ref = self.trailer.get("Encrypt")
+        self._encrypt_num = enc_ref[0] if isinstance(enc_ref, Ref) else -1
+        enc = self.obj(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError("document is encrypted (malformed /Encrypt)")
+        ids = self.obj(self.trailer.get("ID"))
+        id0 = b""
+        if isinstance(ids, list) and ids and isinstance(ids[0], str):
+            id0 = ids[0].encode("latin-1")
+        try:
+            handler = crypto.StandardSecurityHandler(enc, id0)
+        except ValueError as e:
+            raise PdfError(f"document is encrypted ({e})") from e
+        pw = (password or "").encode("latin-1")
+        if not handler.authenticate(pw):
+            if password is None:
+                raise PdfError(
+                    "document is encrypted (no password provided)")
+            raise PdfError("invalid password for encrypted PDF")
+        self._cache.clear()  # anything resolved pre-auth lacks decryption
+        self._crypt = handler
+
+    def _decrypt_strings(self, val, num: int, gen: int):
+        """Recursively decrypt string leaves of a direct object."""
+        if isinstance(val, str):
+            raw = self._crypt.decrypt(val.encode("latin-1"), num, gen)
+            return raw.decode("latin-1")
+        if isinstance(val, list):
+            return [self._decrypt_strings(v, num, gen) for v in val]
+        if isinstance(val, dict):
+            return {k: self._decrypt_strings(v, num, gen)
+                    for k, v in val.items()}
+        return val
 
     def _parse_xref(self) -> dict[int, int] | None:
         """Classic xref table: startxref offset -> 'xref' subsections.
@@ -541,9 +582,11 @@ class _Doc:
             pos = int(prev) if isinstance(prev, (int, float)) else 0
         return objs or (dict() if self.compressed else None)
 
-    def _stream_at(self, dict_pos: int, d: dict) -> bytes:
+    def _stream_at(self, dict_pos: int, d: dict,
+                   crypt_num: int | None = None) -> bytes:
         """Decode the stream whose dict starts at ``dict_pos`` (already
-        parsed as ``d``)."""
+        parsed as ``d``). ``crypt_num``: object number for decryption
+        (None = never encrypted, e.g. XRef streams)."""
         lex = _Lexer(self.data, dict_pos)
         lex.parse()  # skip past the dict
         lex._skip_ws()
@@ -564,6 +607,8 @@ class _Doc:
             if j < 0:
                 raise PdfError("unterminated stream")
             raw = self.data[i:j].rstrip(b"\r\n")
+        if self._crypt is not None and crypt_num is not None:
+            raw = self._crypt.decrypt(raw, crypt_num, 0)
         filt = d.get("Filter")
         filters = [filt] if isinstance(filt, str) else (filt or [])
         parms = d.get("DecodeParms")
@@ -584,7 +629,7 @@ class _Doc:
         d = lex.parse()
         if not isinstance(d, dict) or d.get("Type") != "ObjStm":
             raise PdfError(f"object {stm_num} is not an ObjStm")
-        raw = self._stream_at(pos, d)
+        raw = self._stream_at(pos, d, crypt_num=stm_num)
         n = int(self.obj(d.get("N")) or 0)
         first = int(self.obj(d.get("First")) or 0)
         header = _Lexer(raw[:first])
@@ -639,6 +684,11 @@ class _Doc:
                 self._cache[num] = val
                 return val
             val = _Lexer(self.data, pos).parse()
+            if self._crypt is not None and num != getattr(
+                    self, "_encrypt_num", -1):
+                # strings of direct objects are individually encrypted;
+                # ObjStm members are not (their container stream was)
+                val = self._decrypt_strings(val, num, ref[1])
             self._cache[num] = val
             return val
         return ref
@@ -670,6 +720,8 @@ class _Doc:
             if j < 0:
                 raise PdfError("unterminated stream")
             raw = self.data[i:j].rstrip(b"\r\n")
+        if self._crypt is not None:
+            raw = self._crypt.decrypt(raw, ref[0], ref[1])
         filt = self.obj(d.get("Filter"))
         filters = [filt] if isinstance(filt, str) else (filt or [])
         parms = self.obj(d.get("DecodeParms"))
@@ -886,7 +938,15 @@ def _interpret(content: bytes, page: PdfPage,
                font_map: dict[str, FontDecode]) -> None:
     """Execute text/path operators, appending spans and segments to
     ``page``. Coordinates arrive in PDF space (bottom-left origin) and are
-    emitted top-left (SURVEY.md §1.4)."""
+    emitted top-left (SURVEY.md §1.4).
+
+    Full 2x3 affine matrices are honored for Tm and cm (rotation/skew
+    included — the reference gets these free from PyMuPDF's get_text,
+    core/page.py:480): a span's device bbox is the axis-aligned envelope
+    of its four transformed text-space corners, exact for the 90-degree
+    rotations real documents use (headers, watermarks, sideways table
+    labels). Fill color (rg/g/k) is tracked in the graphics state and
+    emitted per span as 0-255 RGB (reference core/page.py:746-755)."""
     H = page.height
     # text state
     font_id = next(iter(font_map), "F1")
@@ -895,13 +955,12 @@ def _interpret(content: bytes, page: PdfPage,
     lx = ly = 0.0           # line start (text space)
     leading = 0.0
     tc = tw = 0.0
-    # text matrix (Tm), scale+translate only — rotated/skewed text is out
-    # of scope for the layout algebra (bboxes would need polygon support)
-    ta = td_ = 1.0
-    te = tf = 0.0
-    # graphics state: CTM as (a, d, e, f) with b=c=0, q/Q stack
-    ca, cd, ce, cf = 1.0, 1.0, 0.0, 0.0
-    gs_stack: list[tuple[float, float, float, float]] = []
+    # text matrix Tm = (a b c d e f): (x,y) -> (a*x+c*y+e, b*x+d*y+f)
+    ta, tb, tcm, td_, te, tf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
+    # graphics state: full CTM + fill color, q/Q stack
+    ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    fill = (0, 0, 0)
+    gs_stack: list[tuple[tuple, tuple[int, int, int]]] = []
     stack: list = []        # operand stack
     in_array: list | None = None
     # path state
@@ -921,27 +980,50 @@ def _interpret(content: bytes, page: PdfPage,
         w = fd.advance(s, size, tc, tw)
         if s:
             _, asc, desc = fonts.metrics(base)
-            sx = ta * ca            # effective horizontal scale
-            sy = td_ * cd           # effective vertical scale
-            dev_x = ca * (ta * at_x + te) + ce
-            dev_y = cd * (td_ * at_y + tf) + cf
-            eff_size = size * sy
+            ca, cb, cc, cd, ce, cf = ctm
+            # render matrix R = Tm x CTM (row-vector convention)
+            ra = ta * ca + tb * cc
+            rb = ta * cb + tb * cd
+            rc = tcm * ca + td_ * cc
+            rd = tcm * cb + td_ * cd
+            re_ = te * ca + tf * cc + ce
+            rf = te * cb + tf * cd + cf
+            # effective size = magnitude of the y-axis image (equals the
+            # old td_*cd product for the unrotated positive-scale case)
+            eff_size = size * math.hypot(rc, rd)
+            # device bbox = envelope of the four text-space corners
+            xs0, xs1 = at_x, at_x + w
+            yb, yt = at_y + desc * size, at_y + asc * size
+            corners = ((xs0, yb), (xs1, yb), (xs0, yt), (xs1, yt))
+            dev = [(ra * x + rc * y + re_, rb * x + rd * y + rf)
+                   for x, y in corners]
+            min_x = min(p[0] for p in dev)
+            max_x = max(p[0] for p in dev)
+            min_y = min(p[1] for p in dev)
+            max_y = max(p[1] for p in dev)
             page.spans.append(Span(
                 text=fd.decode(s),
-                x0=dev_x,
-                y0=H - (dev_y + asc * eff_size),
-                x1=dev_x + w * sx,
-                y1=H - (dev_y + desc * eff_size),
+                x0=min_x,
+                y0=H - max_y,
+                x1=max_x,
+                y1=H - min_y,
                 font=base,
                 size=eff_size,
                 bold=fonts.is_bold(base),
                 italic=fonts.is_italic(base),
+                color=fill,
             ))
         return w
 
     def seg(x0: float, y0: float, x1: float, y1: float) -> None:
-        subpath.append(Segment(ca * x0 + ce, H - (cd * y0 + cf),
-                               ca * x1 + ce, H - (cd * y1 + cf)))
+        ca, cb, cc, cd, ce, cf = ctm
+        subpath.append(Segment(
+            ca * x0 + cc * y0 + ce, H - (cb * x0 + cd * y0 + cf),
+            ca * x1 + cc * y1 + ce, H - (cb * x1 + cd * y1 + cf)))
+
+    def _rgb255(r: float, g: float, b: float) -> tuple[int, int, int]:
+        clamp = lambda v: max(0, min(255, int(round(v * 255.0))))
+        return (clamp(r), clamp(g), clamp(b))
 
     for kind, val in _cs_tokens(content):
         if in_array is not None:
@@ -973,11 +1055,14 @@ def _interpret(content: bytes, page: PdfPage,
                 ly += float(stack[-1][1])
                 tx, ty = lx, ly
             elif op == "Tm" and len(stack) >= 6:
-                # scale+translate components; b/c (rotation/skew) dropped
-                ta = float(stack[-6][1]) or 1.0
-                td_ = float(stack[-3][1]) or 1.0
+                ta = float(stack[-6][1])
+                tb = float(stack[-5][1])
+                tcm = float(stack[-4][1])
+                td_ = float(stack[-3][1])
                 te = float(stack[-2][1])
                 tf = float(stack[-1][1])
+                if ta == tb == tcm == td_ == 0.0:
+                    ta = td_ = 1.0  # degenerate matrix: treat as identity
                 lx = ly = 0.0
                 tx, ty = lx, ly
             elif op == "T*":
@@ -991,23 +1076,34 @@ def _interpret(content: bytes, page: PdfPage,
                 tw = float(stack[-1][1])
             elif op == "BT":
                 tx = ty = lx = ly = 0.0
-                ta = td_ = 1.0
+                ta, tb, tcm, td_ = 1.0, 0.0, 0.0, 1.0
                 te = tf = 0.0
             elif op == "q":
-                gs_stack.append((ca, cd, ce, cf))
+                gs_stack.append((ctm, fill))
             elif op == "Q":
                 if gs_stack:
-                    ca, cd, ce, cf = gs_stack.pop()
+                    ctm, fill = gs_stack.pop()
             elif op == "cm" and len(stack) >= 6:
-                # CTM' = M x CTM (b/c dropped): device p = ctm(m(p))
-                ma = float(stack[-6][1]) or 1.0
-                md = float(stack[-3][1]) or 1.0
-                me = float(stack[-2][1])
-                mf = float(stack[-1][1])
-                ce = ca * me + ce
-                cf = cd * mf + cf
-                ca *= ma
-                cd *= md
+                # CTM' = M x CTM: device p = ctm(m(p)), full 2x3 concat
+                ma, mb, mc, md, me, mf = (
+                    float(stack[j][1]) for j in range(-6, 0))
+                if ma == mb == mc == md == 0.0:
+                    ma = md = 1.0  # degenerate matrix: treat as identity
+                ca, cb, cc, cd, ce, cf = ctm
+                ctm = (ma * ca + mb * cc, ma * cb + mb * cd,
+                       mc * ca + md * cc, mc * cb + md * cd,
+                       me * ca + mf * cc + ce, me * cb + mf * cd + cf)
+            elif op == "rg" and len(stack) >= 3:
+                fill = _rgb255(float(stack[-3][1]), float(stack[-2][1]),
+                               float(stack[-1][1]))
+            elif op == "g" and stack:
+                v = float(stack[-1][1])
+                fill = _rgb255(v, v, v)
+            elif op == "k" and len(stack) >= 4:
+                c_, m_, y_, k_ = (float(stack[j][1]) for j in range(-4, 0))
+                fill = _rgb255((1.0 - min(1.0, c_ + k_)),
+                               (1.0 - min(1.0, m_ + k_)),
+                               (1.0 - min(1.0, y_ + k_)))
             elif op == "Tj" and stack:
                 tx += show(str(stack[-1][1]), tx, ty)
             elif op == "'" and stack:
@@ -1051,10 +1147,13 @@ def _interpret(content: bytes, page: PdfPage,
     page.segments.extend(subpath)
 
 
-def parse_pdf(data: bytes) -> PdfFile:
+def parse_pdf(data: bytes, password: str | None = None) -> PdfFile:
     """Full document parse: bytes -> pages of spans + rule segments +
-    truthy metadata (reference core/document.py:169-178 semantics)."""
-    doc = _Doc(data)
+    truthy metadata (reference core/document.py:169-178 semantics).
+    ``password`` unlocks standard-security-handler encryption (RC4/AES;
+    empty-user-password documents open with no password, like PyMuPDF's
+    open-time attempt — reference core/document.py:109-123)."""
+    doc = _Doc(data, password)
     root = doc.obj(doc.trailer.get("Root"))
     pages_node = doc.obj(root.get("Pages")) if isinstance(root, dict) else None
     page_refs: list = []

@@ -116,11 +116,16 @@ def _tounicode_cmap(mapping: dict[int, str]) -> bytes:
 def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
               compress: bool = True,
               tounicode: dict[str, dict[int, str]] | None = None,
-              differences: dict[str, dict[int, str]] | None = None) -> bytes:
+              differences: dict[str, dict[int, str]] | None = None,
+              encrypt: dict | None = None) -> bytes:
     """Assemble a complete PDF byte stream with a correct xref table.
 
     ``tounicode``  : font-id -> {byte code -> unicode str} (/ToUnicode CMap)
-    ``differences``: font-id -> {byte code -> glyph name} (/Encoding)"""
+    ``differences``: font-id -> {byte code -> glyph name} (/Encoding)
+    ``encrypt``    : standard security handler, e.g. {"method":
+                     "rc4-128"|"rc4-40"|"aes-128", "user_pw": "",
+                     "owner_pw": "owner"} — deterministic (fixed /ID and
+                     AES IVs derived from object numbers)"""
     tounicode = tounicode or {}
     differences = differences or {}
     objs: list[bytes] = []  # 1-indexed object bodies (dict part only)
@@ -186,6 +191,57 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
         objs.append(b"<< %s >>" % kv)
         info_num = len(objs)
 
+    enc_num = None
+    id0 = b""
+    if encrypt is not None:
+        import hashlib
+        import re as _re
+
+        from . import crypto
+
+        method = encrypt.get("method", "rc4-128")
+        user_pw = encrypt.get("user_pw", "").encode("latin-1")
+        owner_pw = encrypt.get("owner_pw", "owner").encode("latin-1")
+        v, r, length = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
+                        "aes-128": (4, 4, 128)}[method]
+        aes = method == "aes-128"
+        kb = 5 if r == 2 else length // 8
+        id0 = hashlib.md5(b"".join(objs)).digest()  # deterministic /ID
+        o_entry = crypto.compute_o(owner_pw, user_pw, r, kb)
+        p = -44
+        key = crypto.compute_key(user_pw, o_entry, p, id0, r, kb)
+        u_entry = crypto.compute_u(key, id0, r)
+
+        def enc_bytes(data: bytes, num: int) -> bytes:
+            ok = crypto.object_key(key, num, 0, aes)
+            if aes:
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                return crypto.aes_cbc_encrypt(ok, data, iv)
+            return crypto.rc4(ok, data)
+
+        for num in list(streams):
+            data = enc_bytes(streams[num], num)
+            streams[num] = data
+            objs[num - 1] = _re.sub(rb"/Length \d+",
+                                    b"/Length %d" % len(data),
+                                    objs[num - 1], count=1)
+        if info_num:
+            kv = b" ".join(
+                b"/%s (%s)" % (
+                    k.encode(),
+                    _esc(enc_bytes(val.encode("latin-1"),
+                                   info_num).decode("latin-1")))
+                for k, val in info.items())
+            objs[info_num - 1] = b"<< %s >>" % kv
+        cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+              b" /StmF /StdCF /StrF /StdCF" if aes else b"")
+        objs.append(
+            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+            b"/O <%s> /U <%s>%s >>"
+            % (v, r, length, p, o_entry.hex().encode(),
+               u_entry.hex().encode(), cf))
+        enc_num = len(objs)
+
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0] * (len(objs) + 1)
     for num, body in enumerate(objs, start=1):
@@ -203,6 +259,9 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
     trailer = b"<< /Size %d /Root 1 0 R" % (len(objs) + 1)
     if info_num:
         trailer += b" /Info %d 0 R" % info_num
+    if enc_num:
+        trailer += (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                    % (enc_num, id0.hex().encode(), id0.hex().encode()))
     trailer += b" >>"
     buf += b"trailer\n%s\nstartxref\n%d\n%%%%EOF\n" % (trailer, xref_off)
     return bytes(buf)

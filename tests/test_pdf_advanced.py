@@ -457,3 +457,156 @@ def test_tiff_predictor2():
     raw = b"".join(rows)
     out = _apply_predictor(raw, {"Predictor": 2, "Columns": 3})
     assert out == b"\x05\x08\x09\x10\x11\x12"
+
+
+def test_tm_rotation_90deg():
+    """Full 2x2 Tm honored: 90-deg CCW rotated text gets the exact
+    axis-aligned envelope of its transformed corners (tall narrow bbox,
+    advance along +y), not scale-only garbage."""
+    from pdf_parser_spark.pdf import fonts
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = b"BT /F1 12 Tf 0 1 -1 0 300 100 Tm (rot) Tj ET"
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {"F1": "Helvetica"})
+    (s,) = pg.spans
+    w = fonts.text_width("rot", "Helvetica", 12)
+    _, asc, desc = fonts.metrics("Helvetica")
+    assert s.size == pytest.approx(12.0)
+    # x extent = glyph height; y extent = advance (rotated onto +y)
+    assert s.x1 - s.x0 == pytest.approx((asc - desc) * 12)
+    assert s.y1 - s.y0 == pytest.approx(w)
+    # Y = x + 100 (independent of text-space y for this rotation)
+    assert s.y1 == pytest.approx(792 - 100)
+    assert s.x0 == pytest.approx(300 - asc * 12)
+
+
+def test_cm_rotation_rules_and_text():
+    """Full 2x2 cm concat: a 90-deg rotated rule maps onto the y axis."""
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = b"q 0 1 -1 0 200 50 cm 0 0 m 30 0 l S Q"
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {})
+    (seg,) = pg.segments
+    assert (seg.x0, seg.x1) == (200, 200)
+    assert seg.y0 == 792 - 50 and seg.y1 == 792 - 80
+
+
+def test_tm_second_scan_still_exact():
+    """Unrotated path keeps byte-identical geometry semantics (guard:
+    matrix generalization must not perturb the scale+translate case)."""
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = b"BT /F1 10 Tf 2 0 0 3 72 700 Tm (xy) Tj ET"
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {"F1": "Helvetica"})
+    (s,) = pg.spans
+    assert s.x0 == 72 and s.size == 30.0
+
+
+def test_fill_color_tracking():
+    """rg/g/k set the span fill color (reference core/page.py:746-755
+    keeps 0-255 RGB per span); q/Q save/restore it."""
+    from pdf_parser_spark.pdf.tokenizer import PdfPage, _interpret
+
+    raw = (b"BT /F1 12 Tf 72 700 Td "
+           b"1 0 0 rg (red) Tj "
+           b"q 0.5 g (gray) Tj Q "
+           b"(redagain) Tj "
+           b"0 0 0 1 k (black) Tj ET")
+    pg = PdfPage(number=1, width=612, height=792)
+    _interpret(raw, pg, {"F1": "Helvetica"})
+    colors = [s.color for s in pg.spans]
+    assert colors == [(255, 0, 0), (128, 128, 128), (255, 0, 0), (0, 0, 0)]
+
+
+def test_rotated_watermark_does_not_break_body_roundtrip():
+    """A rotated watermark span coexists with a normal paragraph: the
+    body text still extracts; the watermark's geometry stays on-page."""
+    from pdf_parser_spark.extractor import parse_pdf_document
+
+    body = "the main paragraph text that must survive extraction"
+    pdf = build_pdf([Page(texts=[Text(72, 700, body)])])
+    # splice a rotated watermark into the content stream
+    marker = b"BT /F1 48 Tf 0.7071 0.7071 -0.7071 0.7071 306 200 Tm "
+    marker += b"(DRAFT) Tj ET\n"
+    import re as _re
+    import zlib as _zlib
+
+    m = _re.search(rb"stream\r?\n(.*?)endstream", pdf, _re.S)
+    content = _zlib.decompress(m.group(1).strip())
+    new_content = content + b"\n" + marker
+    z = _zlib.compress(new_content)
+    new = (pdf[: m.start(1)] + z + b"\nendstream"
+           + pdf[m.end(0) :])
+    # stream /Length must match the new payload
+    new = _re.sub(rb"/Length \d+", b"/Length %d" % len(z), new, count=1)
+    # xref offsets shifted: parse via the resilient scan path
+    doc = parse_pdf_document("doc://wm", new)
+    page_ir = doc.pages[0]
+    all_text = " ".join(b.text for b in page_ir.blocks)
+    assert body.split()[0] in all_text and body.split()[-1] in all_text
+    assert "DRAFT" in all_text
+
+
+def test_crypto_primitives_known_vectors():
+    """FIPS-197 AES-128 block vector + classic RC4 vector."""
+    from pdf_parser_spark.pdf import crypto
+
+    key = bytes(range(16))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = crypto._encrypt_block(pt, crypto._expand_key(key))
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert crypto._decrypt_block(ct, crypto._expand_key(key)) == pt
+    assert crypto.rc4(b"Key", b"Plaintext").hex().upper() == \
+        "BBF316E8D940AF0AD3"
+
+
+@pytest.mark.parametrize("method", ["rc4-40", "rc4-128", "aes-128"])
+def test_encrypted_pdf_roundtrip_with_password(method):
+    """Standard security handler: encrypted fixture parses with the user
+    password; streams AND Info strings decrypt."""
+    data = build_pdf(
+        [Page(texts=[Text(72, 700, "classified body text")])],
+        info={"Title": "Secret Report"},
+        encrypt={"method": method, "user_pw": "hunter2"})
+    f = parse_pdf(data, password="hunter2")
+    assert f.pages[0].spans[0].text == "classified body text"
+    assert f.metadata.get("Title") == "Secret Report"
+
+
+@pytest.mark.parametrize("method", ["rc4-128", "aes-128"])
+def test_encrypted_pdf_empty_user_password_opens(method):
+    """Empty-user-password documents open with NO password (PyMuPDF
+    open-time attempt, reference core/document.py:109-123)."""
+    data = build_pdf(
+        [Page(texts=[Text(72, 700, "open to everyone")])],
+        encrypt={"method": method, "user_pw": ""})
+    f = parse_pdf(data)
+    assert f.pages[0].spans[0].text == "open to everyone"
+
+
+def test_encrypted_pdf_password_errors():
+    """Reference parity: 'no password' vs 'invalid password' are
+    distinct load errors (core/document.py:109-123)."""
+    data = build_pdf(
+        [Page(texts=[Text(72, 700, "locked")])],
+        encrypt={"method": "rc4-128", "user_pw": "right"})
+    with pytest.raises(PdfError, match="no password provided"):
+        parse_pdf(data)
+    with pytest.raises(PdfError, match="[Ii]nvalid password"):
+        parse_pdf(data, password="wrong")
+
+
+def test_encrypted_pdf_full_extraction_pipeline():
+    """extract via the document-level API with per-page layout."""
+    from pdf_parser_spark.extractor import parse_pdf_document
+
+    data = build_pdf(
+        [Page(texts=[Text(72, 700, "encrypted paragraph survives "
+                                    "the whole layout pipeline")])],
+        encrypt={"method": "aes-128", "user_pw": ""})
+    doc = parse_pdf_document("doc://enc", data)
+    text = " ".join(b.text for b in doc.pages[0].blocks)
+    assert "encrypted paragraph survives" in text
