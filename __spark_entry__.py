@@ -333,17 +333,17 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads -> 16-dim byte-histogram
-    features via mapInPandas (decode step stubbed — no codecs here)."""
+    """Multimodal plumbing: binary payloads -> byte-histogram features
+    via mapInPandas (decode step stubbed — no codecs here). Payloads are
+    the documents' utf-8 bytes so DuckDB reproduces every value (the
+    synthesized pages-table variant, whose binary only exists
+    Spark-side, is covered by pytest)."""
     from pdf_parser_spark.analytics import multimodal
-    from pdf_parser_spark.engine import source
 
-    pages = source.pages_table(spark, sf_dir)
-    media = multimodal.media_table_from_pages(pages)
+    media = multimodal.media_table_from_documents(_docs(spark, sf_dir))
     feats = multimodal.extract_features(media)
     return feats.select("media_id", "kind", "n_bytes",
-                        F.round(F.element_at("features", 1), 6)
-                        .alias("f0"))
+                        F.round("f0", 6).alias("f0"))
 
 
 def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -653,6 +653,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN shd sb ON p.doc_b = sb.doc_id"
         ),
         "dedup_simhash": _sql_simhash(16),
+        "media_features": (
+            "WITH b AS (SELECT doc_id, encode(text) AS blob "
+            "FROM documents), "
+            "h AS (SELECT doc_id, hex(blob) AS hx, "
+            "octet_length(blob) AS n FROM b) "
+            "SELECT doc_id AS media_id, "
+            "CASE WHEN doc_id % 3 = 0 THEN 'image' "
+            "     WHEN doc_id % 3 = 1 THEN 'audio' "
+            "     ELSE 'video' END AS kind, "
+            "CAST(n AS BIGINT) AS n_bytes, "
+            # high nibble of byte i = hex char 2i-1 (1-based); bin 0 of
+            # the 16-bin histogram = bytes whose high nibble is '0'
+            "round(CAST(len(list_filter(range(1, n + 1), "
+            "i -> substr(hx, 2 * i - 1, 1) = '0')) AS DOUBLE) / n, 6) "
+            "AS f0 FROM h"
+        ),
         "extract_markdown_roundtrip": (
             "SELECT doc_id, "
             "concat('# Document ', CAST(doc_id AS VARCHAR)) "
@@ -784,7 +800,4 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) "
             "AS sum_value FROM events GROUP BY 1, 2"
         ),
-        # ann_lsh_topk, media_features: non-SQL-expressible (seeded
-        # hyperplanes / byte histograms) -> rows-only driver check;
-        # recall & feature properties asserted in tests/.
     }

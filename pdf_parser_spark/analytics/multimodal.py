@@ -19,8 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StringType, StructField,
-    StructType,
+    ArrayType, DoubleType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
 )
 
 MEDIA_SCHEMA = StructType([
@@ -37,6 +37,9 @@ FEATURE_SCHEMA = StructType([
     StructField("kind", StringType()),
     StructField("n_bytes", LongType()),
     StructField("features", ArrayType(FloatType())),  # 16-dim
+    # first histogram bin at full float64 precision: the value-oracle
+    # column (float32 features lose 6-dp round-trip stability)
+    StructField("f0", DoubleType()),
 ])
 
 N_FEATURES = 16
@@ -63,18 +66,23 @@ def _byte_histogram(payload: bytes) -> np.ndarray:
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        feats = [
-            _byte_histogram(bytes(p) if isinstance(p, (bytes, bytearray))
-                            else str(p).encode()).tolist()
-            for p in pdf["payload"]
+        payloads = [
+            bytes(p) if isinstance(p, (bytes, bytearray))
+            else str(p).encode() for p in pdf["payload"]
+        ]
+        feats = [_byte_histogram(p).tolist() for p in payloads]
+        f0 = [
+            (float(np.count_nonzero(
+                (np.frombuffer(p, dtype=np.uint8) >> 4) == 0)) / len(p))
+            if p else 0.0
+            for p in payloads
         ]
         yield pd.DataFrame({
             "media_id": pdf["media_id"].astype("int64"),
             "kind": pdf["kind"],
-            "n_bytes": [
-                len(bytes(p) if isinstance(p, (bytes, bytearray))
-                    else str(p).encode()) for p in pdf["payload"]],
+            "n_bytes": [len(p) for p in payloads],
             "features": feats,
+            "f0": f0,
         })
 
 
@@ -83,6 +91,24 @@ def extract_features(media: DataFrame) -> DataFrame:
     the input's partitions (no shuffle — same rationale as extraction)."""
     return media.select("media_id", "kind", "payload") \
                 .mapInPandas(_feature_batches, FEATURE_SCHEMA)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Oracle-reproducible media table: the documents' utf-8 bytes act
+    as opaque payloads (DuckDB recomputes them with encode(text), so the
+    feature values get a full value oracle, unlike the synthesized
+    pages-table payloads which only exist Spark-side)."""
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+             .when(F.col("doc_id") % 3 == 1, "audio")
+             .otherwise("video"))
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(640).alias("width"),
+        F.lit(480).alias("height"),
+        F.lit(0).alias("duration_ms"),
+    )
 
 
 def media_table_from_pages(pages: DataFrame) -> DataFrame:

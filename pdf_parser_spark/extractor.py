@@ -85,7 +85,13 @@ def _body_text(doc: DocIR) -> str:
 
 
 def _collect_spans(doc: DocIR, text: str) -> list[dict]:
-    """Span rows with best-effort offsets into the formatted text."""
+    """Span rows with best-effort offsets into the formatted text.
+
+    Spans arrive in formatter order, so the cursor advances PAST each
+    match: total scanning is O(len(text)) amortized (a cursor that only
+    moved TO the match rescanned the same region per span — quadratic on
+    documents full of repeated spans). The from-the-top retry only fires
+    for out-of-order spans (page fallbacks)."""
     out: list[dict] = []
     cursor = 0
     for page in doc.pages:
@@ -95,7 +101,7 @@ def _collect_spans(doc: DocIR, text: str) -> list[dict]:
                 if pos < 0:
                     pos = text.find(s.text)
                 if pos >= 0:
-                    cursor = pos
+                    cursor = pos + len(s.text)
                 out.append({
                     "page": page.page_number,
                     "text": s.text,

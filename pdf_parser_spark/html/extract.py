@@ -232,7 +232,11 @@ def _walk_blocks(node: _Node, out: list[tuple[str, str, float]],
         pieces: list[tuple[str, bool]] = []
         _texts(ch, in_anchor, pieces)
         raw = "".join(p for p, _ in pieces)
-        text = _WS_RE.sub(" ", raw).strip()
+        if ch.tag == "pre":
+            # preformatted: internal whitespace/newlines are content
+            text = raw.strip("\n").rstrip()
+        else:
+            text = _WS_RE.sub(" ", raw).strip()
         if text:
             total = sum(len(_WS_RE.sub(" ", p).strip()) for p, _ in pieces)
             linky = sum(len(_WS_RE.sub(" ", p).strip())
@@ -242,11 +246,40 @@ def _walk_blocks(node: _Node, out: list[tuple[str, str, float]],
         _walk_blocks(ch, out, in_anchor)
 
 
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9_.:-]+)", re.I)
+
+
+def sniff_charset(data: bytes) -> str:
+    """BOM + meta-charset detection (WHATWG encoding-sniffing spirit):
+    UTF-8/16/32 BOMs win; otherwise the first <meta charset=...> or
+    http-equiv content charset within the head prefix; utf-8 fallback."""
+    if data[:4] in (b"\xff\xfe\x00\x00", b"\x00\x00\xfe\xff"):
+        return "utf-32"
+    if data[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if data[:2] == b"\xff\xfe" or data[:2] == b"\xfe\xff":
+        return "utf-16"
+    m = _META_CHARSET_RE.search(data[:2048])
+    if m:
+        import codecs
+
+        enc = m.group(1).decode("ascii", "replace").lower()
+        try:
+            codecs.lookup(enc)
+            return enc
+        except LookupError:
+            pass
+    return "utf-8"
+
+
 def extract_html(data: bytes, fast: bool = True) -> dict:
     """Extract main content. Returns {text, title, lang, n_blocks,
     dropped_blocks}. ``fast=False`` uses the stdlib html.parser tree
-    builder (reference implementation for A/B tests)."""
-    html_str = data.decode("utf-8", "replace")
+    builder (reference implementation for A/B tests). Bytes are decoded
+    per BOM / meta-charset sniffing (Common-Crawl pages are far from
+    uniformly utf-8), errors replaced — never raised."""
+    html_str = data.decode(sniff_charset(data), "replace")
     if fast:
         root = _fast_tree(html_str)
     else:

@@ -13,7 +13,7 @@ def test_rows_only_queries_documented():
     # queries without oracles must be the documented non-SQL-expressible
     # set only (driver records weaker checks for these)
     rows_only = set(em.queries()) - set(em.oracle_sql())
-    assert rows_only == {"media_features"}
+    assert rows_only == set()  # every query has a value oracle
 
 
 def test_oracle_sql_is_runnable_duckdb():

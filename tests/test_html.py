@@ -140,3 +140,70 @@ def test_block_inside_anchor_counts_as_linky():
     res = extract_html(html)
     assert "Shop the entire catalog" not in res["text"]
     assert "Actual article content" in res["text"]
+
+
+def test_charset_bom_utf16():
+    from pdf_parser_spark.html.extract import extract_html
+
+    body = "Hauptinhalt mit Umlauten äöü und genug Zeichen für den Filter"
+    html = f"<html><body><p>{body}</p></body></html>"
+    import codecs
+
+    data = codecs.BOM_UTF16_LE + html.encode("utf-16-le")
+    res = extract_html(data)
+    assert body in res["text"]
+    data_be = codecs.BOM_UTF16_BE + html.encode("utf-16-be")
+    assert body in extract_html(data_be)["text"]
+
+
+def test_charset_meta_latin1():
+    from pdf_parser_spark.html.extract import extract_html
+
+    body = "café résumé naïve: accented latin-1 page with enough text"
+    html = ('<html><head><meta http-equiv="Content-Type" '
+            'content="text/html; charset=iso-8859-1"></head>'
+            f"<body><p>{body}</p></body></html>")
+    res = extract_html(html.encode("latin-1"))
+    assert "café résumé naïve" in res["text"]
+
+
+def test_charset_meta_charset_attr():
+    from pdf_parser_spark.html.extract import extract_html
+
+    body = "straße größe html5 meta charset declaration test body text"
+    html = ('<html><head><meta charset=windows-1252></head>'
+            f"<body><p>{body}</p></body></html>")
+    res = extract_html(html.encode("cp1252"))
+    assert "straße größe" in res["text"]
+
+
+def test_charset_unknown_falls_back_utf8():
+    from pdf_parser_spark.html.extract import extract_html
+
+    html = ('<html><head><meta charset="x-not-a-charset"></head>'
+            "<body><p>plain ascii body long enough to pass the "
+            "length filter</p></body></html>")
+    res = extract_html(html.encode("utf-8"))
+    assert "plain ascii body" in res["text"]
+
+
+def test_pre_preserves_whitespace():
+    from pdf_parser_spark.html.extract import extract_html
+
+    code = "def f(x):\n    return [x,\n            x + 1]"
+    html = ("<html><body><p>Some explanatory paragraph long enough to "
+            "be kept by the filter.</p>"
+            f"<pre>{code}</pre></body></html>")
+    res = extract_html(html.encode())
+    assert code in res["text"]          # newlines + indentation intact
+    # normal paragraphs still collapse whitespace
+    assert "Some explanatory paragraph long" in res["text"]
+
+
+def test_pre_both_parsers_agree():
+    from pdf_parser_spark.html.extract import extract_html
+
+    html = (b"<html><body><pre>a  b\n   c</pre>"
+            b"<p>paragraph text long enough to pass the length "
+            b"filter here</p></body></html>")
+    assert extract_html(html, fast=True) == extract_html(html, fast=False)
