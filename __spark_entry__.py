@@ -412,6 +412,38 @@ def _q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("quality_score", 6).alias("quality_score")))
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features — expression-level mode
+    (sorted-array run-length), zero shuffles."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.repetition_features(_docs(spark, sf_dir))
+
+
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data chunking: 128-token windows per document, pure
+    per-row explode."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.chunk_documents(_docs(spark, sf_dir), chunk_tokens=128)
+
+
+def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level corpus statistics (per-host doc count / token
+    budget / mean quality) — drives per-domain sampling decisions."""
+    from pdf_parser_spark.analytics import web
+
+    return web.host_stats(_docs(spark, sf_dir))
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: 8-gram shingle overlap of candidates
+    against the held-out set, broadcast semi-join shaped."""
+    from pdf_parser_spark.analytics import dedup
+
+    return dedup.contamination(_docs(spark, sf_dir))
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary (partial+final agg, decimal-exact sums)."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -497,6 +529,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "extract_markdown_roundtrip": _q_extract_markdown,
         "corpus_filter": _q_corpus_filter,
+        "repetition_features": _q_repetition,
+        "chunk_documents": _q_chunks,
+        "host_stats": _q_host_stats,
+        "contamination_check": _q_contamination,
         "tpch_q1": _q_tpch_q1,
         "top_customers_by_nation": _q_top_customers,
         "sessionize_events": _q_sessionize,
@@ -761,6 +797,72 @@ def oracle_sql() -> dict[str, str]:
             "JOIN canon USING (doc_id) JOIN q USING (doc_id) "
             "JOIN lf USING (doc_id) "
             "WHERE q.quality_score >= 0.5 AND q.n_tokens >= 20"
+        ),
+        "repetition_features": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "bg AS (SELECT doc_id, CASE WHEN len(tk) >= 2 THEN "
+            "list_transform(range(1, len(tk)), i -> tk[i] || ' ' || "
+            "tk[i + 1]) ELSE [] END AS bgs FROM t), "
+            "ex AS (SELECT doc_id, unnest(bgs) AS b FROM bg), "
+            "c AS (SELECT doc_id, b, count(*) AS c FROM ex "
+            "GROUP BY doc_id, b), "
+            "agg AS (SELECT doc_id, max(c) AS top, sum(c) AS total, "
+            "count(*) AS dist FROM c GROUP BY doc_id), "
+            + _sql_shingle_hash_cte(3)[5:]  # strip leading 'WITH '
+            + ", tri AS (SELECT sh.doc_id, "
+            "CASE WHEN len(th.th) >= 3 THEN "
+            "round(1.0 - CAST(len(list_distinct(sh.s)) AS DOUBLE) "
+            "/ len(sh.s), 6) ELSE 0.0 END AS dup_trigram_frac "
+            "FROM sh JOIN th ON sh.doc_id = th.doc_id) "
+            "SELECT t.doc_id, "
+            "round(coalesce(CAST(agg.top AS DOUBLE) / agg.total, 0), 6) "
+            "AS top_bigram_frac, "
+            "round(coalesce(1.0 - CAST(agg.dist AS DOUBLE) / agg.total, "
+            "0), 6) AS dup_bigram_frac, "
+            "tri.dup_trigram_frac "
+            "FROM t LEFT JOIN agg USING (doc_id) "
+            "JOIN tri USING (doc_id)"
+        ),
+        "chunk_documents": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "c AS (SELECT doc_id, tk, len(tk) AS n, "
+            "CAST(floor((len(tk) + 127) / 128) AS INT) AS nc FROM t), "
+            "ex AS (SELECT doc_id, n, tk, "
+            "unnest(range(0, nc)) AS i FROM c) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "array_to_string(tk[i * 128 + 1 : i * 128 + 128], ' ') "
+            "AS chunk_text, "
+            "CAST(least(128, n - i * 128) AS BIGINT) AS n_tokens FROM ex"
+        ),
+        "host_stats": (
+            "WITH d AS (SELECT doc_id, text, "
+            "concat('site', CAST(doc_id % 97 AS VARCHAR), '.example') "
+            "AS host FROM documents), "
+            f"q AS (SELECT host, len({_TOKS}) AS n_tokens, "
+            "round(least(len(" + _TOKS + ") / 100.0, 1.0) * 0.4 "
+            f"+ least(len(list_filter({_TOKS}, "
+            f"t -> t IN {_LANG_MARKERS_SQL['en']})) "
+            f"/ greatest(len({_TOKS}), 1) * 10.0, 1.0) * 0.3 "
+            "+ (1.0 - least((length(text) - length(regexp_replace(text, "
+            "'[^\\w\\s]', '', 'g'))) / greatest(length(text), 1) * 5.0, "
+            "1.0)) * 0.3, 6) AS q FROM d) "
+            "SELECT host, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
+            "round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) "
+            "/ count(*), 6) AS avg_quality FROM q GROUP BY host"
+        ),
+        "contamination_check": (
+            _sql_shingle_hash_cte(8)
+            + ", bench AS (SELECT DISTINCT unnest(s) AS h FROM sh "
+            "WHERE doc_id % 100 = 7), "
+            "ex AS (SELECT doc_id, unnest(s) AS h FROM sh "
+            "WHERE doc_id % 100 <> 7), "
+            "j AS (SELECT e.doc_id, count(*) AS total, "
+            "sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS hits "
+            "FROM ex e LEFT JOIN bench b USING (h) GROUP BY e.doc_id) "
+            "SELECT doc_id, total AS n_shingles, "
+            "CAST(hits AS BIGINT) AS contam_hits, "
+            "round(CAST(hits AS DOUBLE) / total, 6) AS contam_frac FROM j"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "

@@ -164,6 +164,33 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
                  F.min("doc_id").alias("canonical_doc_id")))
 
 
+def contamination(docs: DataFrame, text_col: str = "text",
+                  n: int = 8) -> DataFrame:
+    """Benchmark decontamination: fraction of each candidate document's
+    token ``n``-gram shingles that appear in the benchmark set
+    (doc_id % 100 == 7 plays the held-out benchmark here). Plan shape
+    for 100 TB: shingle hashing is per-row; the benchmark shingle set is
+    SMALL and broadcast, so the corpus explode never shuffles — the only
+    exchange is the narrow per-doc count aggregation."""
+    sh = with_shingle_hashes(docs, text_col, n=n).select(
+        "doc_id", F.col("sh").alias("shn"))
+    is_bench = F.col("doc_id") % 100 == 7
+    bench = (sh.where(is_bench)
+             .select(F.explode(F.array_distinct("shn")).alias("h"))
+             .distinct()
+             .withColumn("_hit", F.lit(1)))
+    cand = (sh.where(~is_bench)
+            .select("doc_id", F.explode("shn").alias("h")))
+    joined = cand.join(F.broadcast(bench), "h", "left")
+    return (joined.groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("contam_hits"))
+            .select("doc_id", "n_shingles",
+                    F.col("contam_hits").cast("long").alias("contam_hits"),
+                    F.round(F.col("contam_hits")
+                            / F.col("n_shingles"), 6).alias("contam_frac")))
+
+
 # kept for callers that want raw shingle hash arrays
 def shingles(text_col, n: int = SHINGLE_N):
     """DEPRECATED in favor of with_shingle_hashes (see PERF invariants in

@@ -103,6 +103,85 @@ def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(docs: DataFrame,
+                        text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, fully expression-level
+    (zero shuffles — every value comes from one projection):
+
+    * top_bigram_frac — occurrences of the most frequent token bigram /
+      total bigrams. The per-doc mode is computed WITHOUT a groupBy:
+      sort the bigram array, then a single fold tracks the longest
+      equal-run (run length in a sorted array == occurrence count).
+    * dup_bigram_frac — 1 - distinct/total bigrams.
+    * dup_trigram_frac — same over the rolling 3-gram shingle hashes.
+
+    Docs too short for an n-gram get 0.0 for that feature."""
+    toks = tokens(F.col(text_col))
+    df = docs.withColumn("_tk", toks)
+    m = F.size("_tk") - 1
+    bg = F.when(m >= 1, F.zip_with(
+        F.slice("_tk", 1, F.greatest(m, F.lit(1))),
+        F.slice("_tk", 2, F.greatest(m, F.lit(1))),
+        lambda a, b: F.concat(a, F.lit(" "), b))) \
+        .otherwise(F.array().cast("array<string>"))
+    df = df.withColumn("_bg", bg)          # multi-referenced: own column
+    df = df.withColumn("_sbg", F.array_sort("_bg"))
+    run = F.aggregate(
+        "_sbg",
+        F.struct(F.lit("\x00").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(x == acc["prev"], acc["run"] + 1)
+                       .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
+    total = F.size("_bg")
+    top_frac = F.when(total > 0, run / total).otherwise(F.lit(0.0))
+    dup_bg = F.when(
+        total > 0,
+        1.0 - F.size(F.array_distinct("_bg")) / total).otherwise(F.lit(0.0))
+    df = with_shingle_hashes(df, text_col)   # 'sh': 3-gram hashes
+    n_tok = F.size("_tk")
+    tri_total = F.size("sh")
+    dup_tri = F.when(
+        n_tok >= 3,
+        1.0 - F.size(F.array_distinct("sh")) / tri_total) \
+        .otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+        F.round(dup_tri, 6).alias("dup_trigram_frac"),
+    )
+
+
+def chunk_documents(docs: DataFrame, text_col: str = "text",
+                    chunk_tokens: int = 128) -> DataFrame:
+    """Training-data chunking: split each document into consecutive
+    ``chunk_tokens``-token windows (no overlap), one output row per
+    chunk. Pure per-row explode — no shuffle; chunk boundaries are
+    deterministic functions of the token sequence."""
+    k = chunk_tokens
+    df = (docs.withColumn("_tk", tokens(F.col(text_col)))
+          .withColumn("_n", F.size("_tk")))
+    nchunks = F.floor((F.col("_n") + k - 1) / k).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice("_tk", i * k + 1, k), " ")
+            .alias("chunk_text"),
+            F.least(F.lit(k), F.col("_n") - i * k).alias("n_tokens")))
+    return (df.select("doc_id", F.explode(chunks).alias("c"))
+            .select("doc_id",
+                    F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+                    "c.chunk_text",
+                    F.col("c.n_tokens").cast("long").alias("n_tokens")))
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text",
                  n: int = 8) -> DataFrame:
     """Rolling shingle fingerprint: min/max rolling-hash over token

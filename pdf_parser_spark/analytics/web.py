@@ -1,0 +1,59 @@
+"""Web/URL operators for a crawl-shaped corpus: URL normalization and
+host-level aggregation (domain quality statistics drive per-domain
+sampling decisions in corpus curation).
+
+All JVM built-ins; every output value is DuckDB-expressible for the
+oracle (regexp host extraction mirrors parse_url)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import quality_exprs
+
+
+def with_url(docs: DataFrame) -> DataFrame:
+    """Attach the deterministic crawl url (mirrors datagen.pages.url_for
+    so the pages table and documents agree)."""
+    return docs.withColumn(
+        "url",
+        F.format_string("https://site%d.example/%d",
+                        F.pmod("doc_id", F.lit(97)), F.col("doc_id")))
+
+
+def normalize_url(url_col):
+    """Canonical form: lowercase scheme+host, strip fragment, strip
+    common tracking params (utm_*), drop trailing slash on paths."""
+    u = F.regexp_replace(url_col, r"#.*$", "")                 # fragment
+    u = F.regexp_replace(u, r"([?&])utm_[^&]*", r"$1")         # utm params
+    u = F.regexp_replace(u, r"[?&]+$", "")                     # empty query
+    u = F.regexp_replace(u, r"\?&+", "?")
+    scheme_host = F.lower(F.regexp_extract(u, r"^([a-zA-Z]+://[^/]+)", 1))
+    rest = F.regexp_replace(u, r"^[a-zA-Z]+://[^/]+", "")
+    rest = F.regexp_replace(rest, r"/$", "")
+    return F.concat(scheme_host, rest)
+
+
+def host_of(url_col):
+    return F.parse_url(url_col, F.lit("HOST"))
+
+
+def host_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-host corpus statistics: doc count, token budget, mean quality
+    score — one projection + one map-side-combined aggregation (the
+    shuffle carries one partial row per (partition, host))."""
+    qx = quality_exprs(F.col(text_col))
+    per_doc = with_url(docs).select(
+        host_of(F.col("url")).alias("host"),
+        qx["n_tokens"].alias("n_tokens"),
+        qx["quality_score"].alias("q"))
+    # decimal-exact sum, then ONE double division: a float avg of 6-dp
+    # values can land exactly on a rounding boundary, where the two
+    # engines' summation orders disagree on the last digit
+    return (per_doc.groupBy("host")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+                 F.round(F.sum(F.col("q").cast("decimal(18,6)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_quality")))

@@ -258,3 +258,77 @@ def test_rank_topk_matches_single_window(spark, emb):
     got = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
     want = want.sort_values(["q_id", "rank"]).reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_repetition_features_separate_spam_from_prose(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    spam = " ".join(["buy now"] * 40)
+    prose = " ".join(f"w{i}" for i in range(80))
+    df = spark.createDataFrame(
+        [(1, spam), (2, prose), (3, "one"), (4, "")],
+        "doc_id long, text string")
+    r = {x.doc_id: x for x in T.repetition_features(df).collect()}
+    assert r[1].top_bigram_frac > 0.4 and r[1].dup_bigram_frac > 0.9
+    assert r[1].dup_trigram_frac > 0.9
+    assert r[2].top_bigram_frac <= 0.02 and r[2].dup_bigram_frac == 0.0
+    assert r[3].top_bigram_frac == 0.0       # too short for bigrams
+    assert r[4].dup_trigram_frac == 0.0
+    # expression-level: no Exchange anywhere in the plan
+    plan = (T.repetition_features(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_roundtrip(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    text = " ".join(f"tok{i}" for i in range(300))
+    df = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    chunks = (T.chunk_documents(df, chunk_tokens=128)
+              .orderBy("chunk_idx").collect())
+    assert [c.n_tokens for c in chunks] == [128, 128, 44]
+    assert [c.chunk_idx for c in chunks] == [0, 1, 2]
+    assert " ".join(c.chunk_text for c in chunks) == text
+
+
+def test_host_stats_counts(spark, docs):
+    from pdf_parser_spark.analytics import web
+
+    stats = web.host_stats(docs).toPandas()
+    assert stats.n_docs.sum() == docs.count()
+    assert stats.host.str.match(r"site\d+\.example").all()
+    assert ((stats.avg_quality >= 0) & (stats.avg_quality <= 1)).all()
+
+
+def test_contamination_flags_benchmark_copies(spark):
+    from pdf_parser_spark.analytics import dedup
+
+    bench_text = " ".join(f"bench{i}" for i in range(30))
+    rows = [(7, bench_text),                      # benchmark (id%100==7)
+            (1, bench_text),                      # verbatim copy
+            (2, " ".join(f"clean{i}" for i in range(30))),
+            (3, bench_text + " extra tail tokens here now ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in dedup.contamination(df).collect()}
+    assert 7 not in r                             # benchmark rows excluded
+    assert r[1].contam_frac == 1.0
+    assert r[2].contam_frac == 0.0
+    assert 0.5 < r[3].contam_frac < 1.0
+
+
+def test_normalize_url(spark):
+    from pdf_parser_spark.analytics import web
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("HTTPS://Example.COM/Path/?utm_source=x&q=1#frag",
+         "https://example.com/Path/?q=1"),
+        ("http://a.b/page/", "http://a.b/page"),
+        ("https://x.y/p?utm_campaign=z", "https://x.y/p"),
+    ]
+    df = spark.createDataFrame(rows, "url string, want string")
+    out = df.select(web.normalize_url(F.col("url")).alias("got"),
+                    "want").collect()
+    for r in out:
+        assert r.got == r.want, (r.got, r.want)
