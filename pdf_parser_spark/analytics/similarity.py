@@ -47,10 +47,6 @@ def with_cosine(df: DataFrame, a: str, b: str,
     return df.withColumn(out, _dot(ac, bc) / (_norm(ac) * _norm(bc)))
 
 
-def _lit_vec(vals: list[float]):
-    return F.array(*[F.lit(float(v)) for v in vals])
-
-
 def _rank_topk(scored: DataFrame, k: int,
                q_col: str = "q_id", id_col: str = "vec_id",
                score_col: str = "cosine") -> DataFrame:

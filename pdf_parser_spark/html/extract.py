@@ -164,27 +164,40 @@ def _texts(node: _Node, in_anchor: bool,
             _texts(ch, in_anchor or ch.tag == "a", out)
 
 
+def _span_attr(node: _Node, name: str) -> int:
+    try:
+        v = int(getattr(node, "attrs", {}).get(name, "1") or 1)
+    except (TypeError, ValueError):
+        return 1
+    return max(1, min(v, 1000))
+
+
 def _table_to_ascii(table_node: _Node) -> str:
     """HTML <table> -> the SAME TableIR -> ASCII pipeline the PDF path
     uses (render/ascii_table T4), so tables from both source formats
     render with identical bytes. Header detection: <th> cells or a
-    <thead> row."""
+    <thead> row. rowspan/colspan attributes place cells into the grid
+    with standard HTML occupancy rules; the shared renderer expands
+    merged cells via the rowspan-aware TableIR.get_cell (reference
+    output/models.py:263-283), repeating the text in covered slots."""
     from ..layout.ir import BBox, CellIR, TableIR
     from ..render import ascii_table
 
-    rows: list[list[tuple[str, str]]] = []  # (tag, text)
+    rows: list[list[tuple[str, str, int, int]]] = []  # (tag, text, rs, cs)
 
     def find_rows(n: _Node) -> None:
         for ch in n.children:
             if ch.tag == "tr":
-                cells: list[tuple[str, str]] = []
+                cells: list[tuple[str, str, int, int]] = []
                 for cc in ch.children:
                     if cc.tag in ("td", "th"):
                         pieces: list[tuple[str, bool]] = []
                         _texts(cc, False, pieces)
                         txt = _WS_RE.sub(
                             " ", "".join(p for p, _ in pieces)).strip()
-                        cells.append((cc.tag, txt))
+                        cells.append((cc.tag, txt,
+                                      _span_attr(cc, "rowspan"),
+                                      _span_attr(cc, "colspan")))
                 if cells:
                     rows.append(cells)
             elif ch.tag in ("thead", "tbody", "tfoot"):
@@ -193,18 +206,34 @@ def _table_to_ascii(table_node: _Node) -> str:
     find_rows(table_node)
     if len(rows) < 2:
         return ""
-    num_cols = max(len(r) for r in rows)
+    # grid placement with occupancy (rowspan pushes later rows' cells right)
+    occupied: set[tuple[int, int]] = set()
+    cells: list[CellIR] = []
+    num_rows = len(rows)
+    num_cols = 0
+    header_tags: list[str] = []
+    for ri, row in enumerate(rows):
+        ci = 0
+        for tag, txt, rs, cs in row:
+            while (ri, ci) in occupied:
+                ci += 1
+            for r in range(ri, ri + rs):
+                for c in range(ci, ci + cs):
+                    occupied.add((r, c))
+            cells.append(CellIR(
+                text=txt, bbox=BBox(ci, ri, ci + cs, ri + rs),
+                row=ri, col=ci, rowspan=rs, colspan=cs,
+                is_header=(ri == 0)))
+            if ri == 0:
+                header_tags.append(tag)
+            num_rows = max(num_rows, ri + rs)
+            num_cols = max(num_cols, ci + cs)
+            ci += cs
     if num_cols < 2:
         return ""
-    has_header = all(tag == "th" for tag, _ in rows[0])
-    cells = [
-        CellIR(text=txt, bbox=BBox(ci, ri, ci + 1, ri + 1),
-               row=ri, col=ci, is_header=(ri == 0))
-        for ri, row in enumerate(rows)
-        for ci, (tag, txt) in enumerate(row)
-    ]
-    t = TableIR(cells=cells, bbox=BBox(0, 0, num_cols, len(rows)),
-                num_rows=len(rows), num_cols=num_cols,
+    has_header = bool(header_tags) and all(t == "th" for t in header_tags)
+    t = TableIR(cells=cells, bbox=BBox(0, 0, num_cols, num_rows),
+                num_rows=num_rows, num_cols=num_cols,
                 has_header=has_header)
     return ascii_table.convert(t)
 

@@ -988,19 +988,26 @@ def _interpret(content: bytes, page: PdfPage,
             rd = tcm * cb + td_ * cd
             re_ = te * ca + tf * cc + ce
             rf = te * cb + tf * cd + cf
-            # effective size = magnitude of the y-axis image (equals the
-            # old td_*cd product for the unrotated positive-scale case)
-            eff_size = size * math.hypot(rc, rd)
-            # device bbox = envelope of the four text-space corners
             xs0, xs1 = at_x, at_x + w
             yb, yt = at_y + desc * size, at_y + asc * size
-            corners = ((xs0, yb), (xs1, yb), (xs0, yt), (xs1, yt))
-            dev = [(ra * x + rc * y + re_, rb * x + rd * y + rf)
-                   for x, y in corners]
-            min_x = min(p[0] for p in dev)
-            max_x = max(p[0] for p in dev)
-            min_y = min(p[1] for p in dev)
-            max_y = max(p[1] for p in dev)
+            if rb == 0.0 and rc == 0.0 and ra > 0.0 and rd > 0.0:
+                # fast path: the overwhelmingly common unrotated,
+                # positive-scale case — same values as the general
+                # envelope below, ~3x fewer flops per span
+                eff_size = size * rd
+                min_x, max_x = ra * xs0 + re_, ra * xs1 + re_
+                min_y, max_y = rd * yb + rf, rd * yt + rf
+            else:
+                # effective size = magnitude of the y-axis image
+                eff_size = size * math.hypot(rc, rd)
+                # device bbox = envelope of the 4 text-space corners
+                corners = ((xs0, yb), (xs1, yb), (xs0, yt), (xs1, yt))
+                dev = [(ra * x + rc * y + re_, rb * x + rd * y + rf)
+                       for x, y in corners]
+                min_x = min(p[0] for p in dev)
+                max_x = max(p[0] for p in dev)
+                min_y = min(p[1] for p in dev)
+                max_y = max(p[1] for p in dev)
             page.spans.append(Span(
                 text=fd.decode(s),
                 x0=min_x,

@@ -207,3 +207,40 @@ def test_pre_both_parsers_agree():
             b"<p>paragraph text long enough to pass the length "
             b"filter here</p></body></html>")
     assert extract_html(html, fast=True) == extract_html(html, fast=False)
+
+
+def test_table_colspan_rowspan_grid_placement():
+    """HTML merged cells: colspan widens, rowspan pushes the next row's
+    cells right; the shared renderer repeats merged text in covered
+    slots (rowspan-aware get_cell semantics)."""
+    from pdf_parser_spark.html.extract import extract_html
+
+    html = (b"<html><body><table>"
+            b"<tr><th>a</th><th colspan=2>wide</th></tr>"
+            b"<tr><td rowspan=2>tall</td><td>b</td><td>c</td></tr>"
+            b"<tr><td>d</td><td>e</td></tr>"
+            b"</table>"
+            b"<p>enough surrounding prose to keep the page nonempty "
+            b"for the extractor</p></body></html>")
+    res = extract_html(html)
+    text = res["text"]
+    lines = [ln for ln in text.split("\n") if ln.startswith("|")]
+    # header: 'wide' covers cols 2 and 3
+    assert lines[0].count("wide") == 2
+    # rows 2-3: 'tall' occupies col 1 of both data rows
+    assert lines[1].split("|")[1].strip() == "tall"
+    assert lines[2].split("|")[1].strip() == "tall"
+    assert "d" in lines[2] and "e" in lines[2]
+
+
+def test_table_without_spans_unchanged():
+    from pdf_parser_spark.html.extract import extract_html
+
+    html = (b"<html><body><table>"
+            b"<tr><th>h1</th><th>h2</th></tr>"
+            b"<tr><td>v1</td><td>v2</td></tr>"
+            b"</table><p>prose long enough to pass the block length "
+            b"filter goes right here</p></body></html>")
+    res = extract_html(html)
+    assert "| h1  | h2  |" in res["text"]
+    assert "| v1  | v2  |" in res["text"]

@@ -110,3 +110,43 @@ def test_stateful_sessionization_stream(spark, tmp_path):
     assert len(got2) == 2
     u2 = got2[got2.user_id == 2].iloc[0]
     assert (u2.session_start, u2.session_end, u2.n_events) == (1000, 1100, 2)
+
+
+def test_streaming_first_wins_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: one canonical row per distinct
+    content, first-wins ACROSS micro-batches (state store carries seen
+    hashes across separate queries on the same checkpoint)."""
+    from pdf_parser_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dck")
+    os.makedirs(src, exist_ok=True)
+
+    def run_batch(rows, name):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, name))
+        q = (dedup_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    got1 = run_batch(
+        [(5, "alpha text"), (3, "alpha text"), (9, "beta text")],
+        "b1.parquet")
+    # two distinct contents; canonical = lowest doc_id within the batch
+    assert len(got1) == 2
+    by_canon = dict(zip(got1.text_hash, got1.canonical_doc_id))
+    assert sorted(by_canon.values()) == [3, 9]
+
+    # second query over the SAME checkpoint: previously seen content must
+    # NOT re-emit even with a smaller doc_id; new content emits once
+    got2 = run_batch([(1, "alpha text"), (7, "gamma text")], "b2.parquet")
+    assert len(got2) == 3
+    assert sorted(got2.canonical_doc_id) == [3, 7, 9]  # 1 not canonical

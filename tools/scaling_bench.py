@@ -52,14 +52,16 @@ def run():
     return job.run_extract_fused(docs, n_partitions=cpus).count()
 
 n = run()                      # warm-up (workers, JIT, page cache)
-walls = []
-for _ in range(3):             # best-of-3: the host VM is noisy
-    t0 = time.time(); n = run(); walls.append(time.time() - t0)
-wall = min(walls)
+t0 = time.time(); n = run(); wall = time.time() - t0
 print(json.dumps({"cpus": cpus, "docs": n, "wall": wall,
-                  "walls": walls, "docs_per_sec": n / wall}))
+                  "docs_per_sec": n / wall}))
 spark.stop()
 """
+
+
+def _steal_ticks() -> int:
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
 
 
 def spark_level(cpus: int, replicate: int, sf_dir: str) -> dict:
@@ -90,9 +92,9 @@ def _mp_work(chunk: tuple[int, int, str, int]) -> float:
     return float(hi - lo)
 
 
-def hw_control(procs: int, sf_dir: str, replicate: int) -> dict:
+def hw_control_pass(procs: int, sf_dir: str, replicate: int) -> dict:
     """Identical per-doc work, raw multiprocessing — no Spark, no Arrow.
-    Measures the host's own scaling ceiling."""
+    Measures the host's own scaling ceiling. One measured pass."""
     import pandas as pd
 
     n = len(pd.read_parquet(f"{sf_dir}/documents.parquet"))
@@ -101,29 +103,47 @@ def hw_control(procs: int, sf_dir: str, replicate: int) -> dict:
               for r in range(replicate) for i in range(0, n, step)]
     with mp.Pool(procs) as pool:      # warm-up pass
         pool.map(_mp_work, chunks[: procs])
-    walls = []
-    docs = 0
-    for _ in range(3):  # best-of-3, same as the Spark levels
-        t0 = time.time()
-        with mp.Pool(procs) as pool:
-            done = pool.map(_mp_work, chunks)
-        walls.append(time.time() - t0)
-        docs = int(sum(done))
-    wall = min(walls)
+    t0 = time.time()
+    with mp.Pool(procs) as pool:
+        done = pool.map(_mp_work, chunks)
+    wall = time.time() - t0
+    docs = int(sum(done))
     return {"procs": procs, "docs": docs, "wall": wall,
             "docs_per_sec": docs / wall}
 
 
 def main() -> None:
+    """Levels are INTERLEAVED round-robin across repetitions and the
+    per-level BEST pass is kept: this VM shares a physical host with
+    co-tenants whose load phases last minutes (observed: local[32]
+    swinging 9.9k -> 23k docs/s between back-to-back runs, /proc/stat
+    steal accumulating). Running all reps of one level back-to-back
+    lets a co-tenant phase poison one SIDE of the efficiency ratio;
+    interleaving spreads the noise symmetrically, and best-of keeps the
+    least-disturbed sample per level."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(os.environ.get("BENCH_REPLICATE", "32"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    s4 = spark_level(4, replicate, sf_dir)
-    s16 = spark_level(16, replicate, sf_dir)
-    s8 = spark_level(8, replicate, sf_dir)
-    s32 = spark_level(32, replicate, sf_dir)
-    h8 = hw_control(8, sf_dir, max(4, replicate // 4))
-    h32 = hw_control(32, sf_dir, max(4, replicate // 4))
+    steal0 = _steal_ticks()
+    best: dict[int, dict] = {}
+    for r in range(reps):
+        for cpus in (4, 16, 8, 32):
+            res = spark_level(cpus, replicate, sf_dir)
+            if (cpus not in best
+                    or res["docs_per_sec"] > best[cpus]["docs_per_sec"]):
+                best[cpus] = res
+    s4, s8, s16, s32 = best[4], best[8], best[16], best[32]
+
+    hbest: dict[int, dict] = {}
+    for r in range(reps):
+        for procs in (8, 32):
+            res = hw_control_pass(procs, sf_dir, max(4, replicate // 4))
+            if (procs not in hbest
+                    or res["docs_per_sec"] > hbest[procs]["docs_per_sec"]):
+                hbest[procs] = res
+    h8, h32 = hbest[8], hbest[32]
+    steal_s = (_steal_ticks() - steal0) / 100.0
 
     eff_4_16 = s16["docs_per_sec"] / (4 * s4["docs_per_sec"])
     eff_8_32 = s32["docs_per_sec"] / (4 * s8["docs_per_sec"])
@@ -148,6 +168,7 @@ def main() -> None:
         },
         "docs": s32["docs"],
         "sf_dir": sf_dir,
+        "steal_seconds_during_bench": round(steal_s, 1),
         "passes": eff_4_16 >= 0.8,
     }
     print(json.dumps(result))
@@ -159,9 +180,15 @@ def main() -> None:
 ## Extraction pipeline (scan -> mapInPandas tokenizer/layout/formatter)
 
 Input: {sf_dir} documents x replicate={replicate} ({s32['docs']} docs;
-~70% HTML / 25% PDF / 5% malformed; deterministic heavy tail every 500th
-doc). Warm pass measured; one task wave per level; no byte shuffle
-(extraction is embarrassingly parallel — see engine/job.py).
+~70% HTML / 25% PDF (1 in 4 PDFs RC4-encrypted) / 5% malformed;
+deterministic heavy tail every 500th doc). Warm pass measured; one task
+wave per level; no byte shuffle (extraction is embarrassingly parallel —
+see engine/job.py). Levels INTERLEAVED round-robin x{reps} reps,
+per-level best kept: the VM shares a physical host whose co-tenant load
+phases last minutes (observed local[32] swinging 9.9k->23k docs/s
+between runs; {steal_s:.0f}s of /proc/stat steal accrued during this
+bench), so sequential per-level runs let one phase poison one side of
+the efficiency ratio.
 
 | parallelism | wall (s) | throughput (docs/s) |
 |---|---|---|
