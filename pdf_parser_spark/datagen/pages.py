@@ -55,11 +55,14 @@ def doc_kind(doc_id: int) -> str:
 
 
 def encrypt_for(doc_id: int) -> dict | None:
-    """doc_id % 20 == 5 -> RC4-128 standard-security encryption with an
-    EMPTY user password: parses with no password (like PyMuPDF's
-    open-time attempt), so the routing/roundtrip oracles are unchanged
-    while the pipeline exercises decryption end-to-end."""
-    if doc_id % 20 == 5:
+    """doc_id % 100 == 5 (1% of docs, all inside the PDF routing class
+    doc_id%20==5) -> RC4-128 standard-security encryption with an EMPTY
+    user password: parses with no password (like PyMuPDF's open-time
+    attempt), so the routing/roundtrip oracles are unchanged while the
+    pipeline exercises decryption end-to-end. 1% matches real crawls
+    (encrypted PDFs are rare) and bounds the pure-Python RC4 cost —
+    the O/U password-check loops alone are ~1 ms/doc."""
+    if doc_id % 100 == 5:
         return {"method": "rc4-128", "user_pw": ""}
     return None
 

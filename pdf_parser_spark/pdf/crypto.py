@@ -24,17 +24,21 @@ _PAD = bytes([
 def rc4(key: bytes, data: bytes) -> bytes:
     s = list(range(256))
     j = 0
-    klen = len(key)
+    # pre-tile the key to 256 bytes: drops the modulo+index from the
+    # KSA inner loop (the KSA dominates short-buffer calls like the
+    # 19-iteration /O //U derivation loops)
+    k = (key * (256 // len(key) + 1))[:256]
     for i in range(256):
-        j = (j + s[i] + key[i % klen]) & 0xFF
+        j = (j + s[i] + k[i]) & 0xFF
         s[i], s[j] = s[j], s[i]
     out = bytearray(len(data))
     i = j = 0
     for n, c in enumerate(data):
         i = (i + 1) & 0xFF
-        j = (j + s[i]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-        out[n] = c ^ s[(s[i] + s[j]) & 0xFF]
+        sj = s[j := (j + s[i]) & 0xFF]
+        s[j] = s[i]
+        s[i] = sj
+        out[n] = c ^ s[(sj + s[j]) & 0xFF]
     return bytes(out)
 
 

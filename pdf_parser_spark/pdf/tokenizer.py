@@ -959,6 +959,7 @@ def _interpret(content: bytes, page: PdfPage,
     ta, tb, tcm, td_, te, tf = 1.0, 0.0, 0.0, 1.0, 0.0, 0.0
     # graphics state: full CTM + fill color, q/Q stack
     ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    rmat = None      # cached Tm x CTM; invalidated on Tm/cm/Q/BT
     fill = (0, 0, 0)
     gs_stack: list[tuple[tuple, tuple[int, int, int]]] = []
     stack: list = []        # operand stack
@@ -980,14 +981,16 @@ def _interpret(content: bytes, page: PdfPage,
         w = fd.advance(s, size, tc, tw)
         if s:
             _, asc, desc = fonts.metrics(base)
-            ca, cb, cc, cd, ce, cf = ctm
-            # render matrix R = Tm x CTM (row-vector convention)
-            ra = ta * ca + tb * cc
-            rb = ta * cb + tb * cd
-            rc = tcm * ca + td_ * cc
-            rd = tcm * cb + td_ * cd
-            re_ = te * ca + tf * cc + ce
-            rf = te * cb + tf * cd + cf
+            nonlocal rmat
+            if rmat is None:
+                # render matrix R = Tm x CTM (row-vector convention);
+                # changes only on Tm/cm/Q/BT, so it is cached across the
+                # (typically many) show ops between matrix mutations
+                ca, cb, cc, cd, ce, cf = ctm
+                rmat = (ta * ca + tb * cc, ta * cb + tb * cd,
+                        tcm * ca + td_ * cc, tcm * cb + td_ * cd,
+                        te * ca + tf * cc + ce, te * cb + tf * cd + cf)
+            ra, rb, rc, rd, re_, rf = rmat
             xs0, xs1 = at_x, at_x + w
             yb, yt = at_y + desc * size, at_y + asc * size
             if rb == 0.0 and rc == 0.0 and ra > 0.0 and rd > 0.0:
@@ -1070,6 +1073,7 @@ def _interpret(content: bytes, page: PdfPage,
                 tf = float(stack[-1][1])
                 if ta == tb == tcm == td_ == 0.0:
                     ta = td_ = 1.0  # degenerate matrix: treat as identity
+                rmat = None
                 lx = ly = 0.0
                 tx, ty = lx, ly
             elif op == "T*":
@@ -1085,11 +1089,13 @@ def _interpret(content: bytes, page: PdfPage,
                 tx = ty = lx = ly = 0.0
                 ta, tb, tcm, td_ = 1.0, 0.0, 0.0, 1.0
                 te = tf = 0.0
+                rmat = None
             elif op == "q":
                 gs_stack.append((ctm, fill))
             elif op == "Q":
                 if gs_stack:
                     ctm, fill = gs_stack.pop()
+                    rmat = None
             elif op == "cm" and len(stack) >= 6:
                 # CTM' = M x CTM: device p = ctm(m(p)), full 2x3 concat
                 ma, mb, mc, md, me, mf = (
@@ -1100,6 +1106,7 @@ def _interpret(content: bytes, page: PdfPage,
                 ctm = (ma * ca + mb * cc, ma * cb + mb * cd,
                        mc * ca + md * cc, mc * cb + md * cd,
                        me * ca + mf * cc + ce, me * cb + mf * cd + cf)
+                rmat = None
             elif op == "rg" and len(stack) >= 3:
                 fill = _rgb255(float(stack[-3][1]), float(stack[-2][1]),
                                float(stack[-1][1]))
