@@ -1,0 +1,110 @@
+"""Plan-shape regression tests: lock in the scale-hardening plan
+properties (shuffle counts, broadcasts, column pruning). A correctness-
+preserving refactor that silently reintroduces a corpus shuffle or
+un-prunes a scan should fail HERE, not at 100 TB.
+
+Counting convention: "Exchange hashpartitioning" = a real shuffle;
+BroadcastExchange is free-ish (small side) and counted separately."""
+
+import pytest
+
+from tests.conftest import SF0001
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(df) -> int:
+    return _plan(df).count("Exchange hashpartitioning")
+
+
+def _broadcasts(df) -> int:
+    return _plan(df).count("BroadcastExchange")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    import __spark_entry__ as em
+
+    return {k: v(spark, SF0001) for k, v in em.queries().items()
+            if k in {
+                "corpus_filter", "dedup_exact", "text_stats",
+                "ann_brute_topk", "ann_ivf_topk", "token_parity_by_lang",
+                "contamination_check", "repetition_features",
+                "chunk_documents", "host_stats", "quality_features",
+            }}
+
+
+def test_pure_projection_queries_have_zero_shuffles(queries):
+    for name in ("text_stats", "quality_features", "repetition_features",
+                 "chunk_documents"):
+        assert _shuffles(queries[name]) == 0, name
+
+
+def test_corpus_filter_is_one_corpus_shuffle(queries):
+    """Window-min canonical filter + single-projection features: the old
+    groupBy + three equi-joins cost 4 shuffles."""
+    assert _shuffles(queries["corpus_filter"]) == 1
+
+
+def test_dedup_exact_is_one_shuffle_with_partial_agg(queries):
+    df = queries["dedup_exact"]
+    assert _shuffles(df) == 1
+    # map-side combine: partial and final HashAggregate around the
+    # exchange, so the shuffle carries one row per distinct hash/task
+    assert _plan(df).count("HashAggregate") >= 2
+
+
+def test_ann_queries_broadcast_small_side_once(queries):
+    for name in ("ann_brute_topk", "ann_ivf_topk"):
+        df = queries[name]
+        assert _broadcasts(df) == 1, name
+        # the ONLY real shuffle is the final <= partitions x k x Q
+        # window (the partial top-k is partition-local mapInPandas)
+        assert _shuffles(df) == 1, name
+
+
+def test_ivf_corpus_side_never_shuffles(spark):
+    from pdf_parser_spark.analytics import similarity
+
+    emb = spark.read.parquet(f"{SF0001}/embeddings.parquet")
+    cents = similarity.kmeans_centroids(emb, 8, iters=1)
+    lists = similarity._with_centroid(emb, "embedding", cents)
+    assert "Exchange" not in _plan(lists)
+
+
+def test_token_parity_uses_broadcast_join(queries):
+    assert _broadcasts(queries["token_parity_by_lang"]) == 1
+
+
+def test_contamination_broadcasts_benchmark_set(queries):
+    df = queries["contamination_check"]
+    assert _broadcasts(df) == 1
+    # corpus-side explode never shuffles: the exchanges are the tiny
+    # benchmark-set distinct and the narrow per-doc count agg
+    assert _shuffles(df) <= 2
+
+
+def test_scans_are_column_pruned(queries):
+    """A projection query must not read unused columns (e.g. lang,
+    embedding metadata) through the parquet scan."""
+    plan = _plan(queries["text_stats"])
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "doc_id:bigint" in scan and "text:string" in scan
+    assert "lang" not in scan and "n_tokens" not in scan
+
+
+def test_extraction_plan_moves_no_bytes(spark):
+    """The flagship extraction runs in scan partitions: no exchange
+    carries the html byte column."""
+    from pdf_parser_spark.engine import job, source
+
+    pages = source.pages_table(spark, SF0001)
+    out = job.run_extract(pages, n_partitions=8)
+    plan = _plan(out)
+    # the only shuffle is the narrow pre-synthesis repartition of
+    # (doc_id, text, lang) — html bytes are materialized after it
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "html" not in ln, ln
