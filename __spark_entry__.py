@@ -461,6 +461,50 @@ def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "count_order"))
 
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 flavor: 6-table join (region->nation->supplier +
+    customer->orders->lineitem, co-located on nationkey), revenue by
+    nation. Dims broadcast; the only large shuffles are the
+    orders/lineitem equi-join and the final tiny aggregation."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    supp, nat, reg = rd("supplier"), rd("nation"), rd("region")
+    asia_nations = (nat.join(F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+                             nat.n_regionkey == reg.r_regionkey)
+                    .select("n_nationkey", "n_name"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .where((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                   & (F.col("o_orderdate") < F.lit("1998-01-01")))
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(supp),
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(asia_nations),
+                  supp.s_nationkey == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.round(F.sum(dec("l_extendedprice")
+                               * (F.lit(1).cast("decimal(18,4)")
+                                  - dec("l_discount"))).cast("double"), 2)
+                 .alias("revenue"))
+            .select("n_name", "revenue"))
+
+
+def _q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 flavor: EXISTS semi-join — orders having at least one
+    returned lineitem, counted by priority. left_semi keeps the probe
+    side narrow (no lineitem columns survive the join)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    returned = li.where(F.col("l_returnflag") == "R") \
+                 .select("l_orderkey").distinct()
+    return (orders.join(returned,
+                        orders.o_orderkey == returned.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
 def _q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + agg + top-k (broadcast dims, TPC-H Q3 flavor)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -534,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": _q_host_stats,
         "contamination_check": _q_contamination,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q5": _q_tpch_q5,
+        "orders_with_returns": _q_orders_with_returns,
         "top_customers_by_nation": _q_top_customers,
         "sessionize_events": _q_sessionize,
         "hourly_events": _q_hourly_events,
@@ -876,6 +922,28 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q5": (
+            "SELECT n_name, round(CAST(sum(CAST(l_extendedprice AS "
+            "DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - "
+            "CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) "
+            "AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name"
+        ),
+        "orders_with_returns": (
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority"
         ),
         "top_customers_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "

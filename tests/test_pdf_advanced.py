@@ -610,3 +610,64 @@ def test_encrypted_pdf_full_extraction_pipeline():
     doc = parse_pdf_document("doc://enc", data)
     text = " ".join(b.text for b in doc.pages[0].blocks)
     assert "encrypted paragraph survives" in text
+
+
+def test_crypto_properties_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_parser_spark.pdf import crypto
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.binary(min_size=1, max_size=16), st.binary(max_size=512))
+    def rc4_is_involutive(key, data):
+        assert crypto.rc4(key, crypto.rc4(key, data)) == data
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.binary(min_size=16, max_size=16),
+           st.binary(max_size=400),
+           st.binary(min_size=16, max_size=16))
+    def aes_cbc_roundtrips(key, data, iv):
+        enc = crypto.aes_cbc_encrypt(key, data, iv)
+        assert crypto.aes_cbc_decrypt(key, enc) == data
+        assert len(enc) % 16 == 0 and len(enc) >= len(data) + 1 + 16
+
+    rc4_is_involutive()
+    aes_cbc_roundtrips()
+
+
+def test_lzw_roundtrip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pdf_parser_spark.pdf.tokenizer import _lzw_decode
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(max_size=3000), st.sampled_from([0, 1]))
+    def roundtrips(data, ec):
+        assert _lzw_decode(_lzw_encode(data, ec), ec) == data
+
+    roundtrips()
+
+
+def test_password_auth_property():
+    """Any (owner_pw, user_pw) writer pair authenticates with exactly the
+    user password across all three methods."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pw_chars = st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+        min_size=1, max_size=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(pw_chars, pw_chars)
+    def auth_roundtrip(user_pw, other):
+        data = build_pdf([Page(texts=[Text(72, 700, "p")])],
+                         encrypt={"method": "rc4-128", "user_pw": user_pw})
+        assert parse_pdf(data, password=user_pw).pages[0].spans[0].text == "p"
+        if other != user_pw:
+            with pytest.raises(PdfError):
+                parse_pdf(data, password=other)
+
+    auth_roundtrip()
