@@ -110,6 +110,60 @@ def read_snapshot(spark: SparkSession, table_dir: str,
     return spark.read.parquet(*paths)
 
 
+def read_appends(spark: SparkSession, table_dir: str,
+                 from_snapshot: str,
+                 to_snapshot: str | None = None) -> DataFrame:
+    """Incremental append scan (Iceberg's incremental read): only the
+    rows added AFTER ``from_snapshot`` up to ``to_snapshot`` (default
+    current). This is how a training pipeline processes just the new
+    crawl increment instead of rescanning the table. Raises if an
+    overwrite intervenes (the delta is not expressible as added files
+    then — same contract as Iceberg's incremental scan)."""
+    if to_snapshot is None:
+        to_snapshot = current_snapshot(table_dir)
+    snaps = _snapshots(table_dir)
+    ids = [s for _, s, _ in snaps]
+    i_from, i_to = ids.index(from_snapshot), ids.index(to_snapshot)
+    if i_to < i_from:
+        raise ValueError("to_snapshot precedes from_snapshot")
+    for _, snap, _ in snaps[i_from + 1 : i_to + 1]:
+        if _manifest(table_dir, snap)["operation"] != "append":
+            raise ValueError(
+                f"snapshot {snap} is an overwrite — incremental append "
+                "scan undefined across it")
+    base = set(_manifest(table_dir, from_snapshot)["files"])
+    new = [f for f in _manifest(table_dir, to_snapshot)["files"]
+           if f not in base]
+    if not new:
+        return read_snapshot(spark, table_dir, to_snapshot).limit(0)
+    return spark.read.parquet(
+        *[os.path.join(table_dir, "data", f) for f in new])
+
+
+def rollback(table_dir: str, snapshot_id: str) -> str:
+    """Roll the table back to a historical snapshot by committing a NEW
+    snapshot that points at the old file list (Iceberg rollback: history
+    is preserved, data files are immutable, nothing is deleted)."""
+    old = _manifest(table_dir, snapshot_id)
+    snaps = _snapshots(table_dir)
+    seq = snaps[-1][0] + 1
+    new_id = uuid.uuid4().hex[:12]
+    sdir = os.path.join(table_dir, "snapshots")
+    manifest = {
+        "snapshot_id": new_id,
+        "sequence": seq,
+        "parent": snaps[-1][1],
+        "operation": "rollback",
+        "rolled_back_to": snapshot_id,
+        "files": old["files"],
+    }
+    tmp = os.path.join(sdir, f".tmp-{new_id}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, os.path.join(sdir, f"{seq}-{new_id}.json"))  # COMMIT
+    return new_id
+
+
 def history(table_dir: str) -> list[dict]:
     return [
         {"sequence": seq, "snapshot_id": snap,

@@ -47,3 +47,49 @@ def test_extraction_pipeline_over_snapshots(spark, tmp_path):
     catalog.commit(pages.limit(300), tdir, "append")  # concurrent append
     ext = job.run_extract(pinned, n_partitions=8)
     assert ext.count() == 200  # snapshot isolation held
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """read_appends returns ONLY the rows added between two snapshots —
+    the 'process just the new crawl increment' primitive."""
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "inc_tbl")
+    s1 = catalog.commit(spark.range(0, 10), tdir, "append")
+    s2 = catalog.commit(spark.range(10, 25), tdir, "append")
+    s3 = catalog.commit(spark.range(25, 30), tdir, "append")
+
+    inc = catalog.read_appends(spark, tdir, s1, s3).toPandas()
+    assert sorted(inc.id) == list(range(10, 30))
+    inc12 = catalog.read_appends(spark, tdir, s1, s2).toPandas()
+    assert sorted(inc12.id) == list(range(10, 25))
+    # same-snapshot delta is empty with a stable schema
+    assert catalog.read_appends(spark, tdir, s3, s3).count() == 0
+
+
+def test_incremental_scan_refuses_overwrite_boundary(spark, tmp_path):
+    import pytest
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "ow_tbl")
+    s1 = catalog.commit(spark.range(0, 10), tdir, "append")
+    catalog.commit(spark.range(0, 3), tdir, "overwrite")
+    s3 = catalog.commit(spark.range(3, 6), tdir, "append")
+    with pytest.raises(ValueError, match="overwrite"):
+        catalog.read_appends(spark, tdir, s1, s3)
+
+
+def test_rollback_preserves_history(spark, tmp_path):
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "rb_tbl")
+    s1 = catalog.commit(spark.range(0, 10), tdir, "append")
+    s2 = catalog.commit(spark.range(10, 20), tdir, "append")
+    rb = catalog.rollback(tdir, s1)
+    # current view = s1's data; s2 still time-travelable
+    assert catalog.current_snapshot(tdir) == rb
+    assert catalog.read_snapshot(spark, tdir).count() == 10
+    assert catalog.read_snapshot(spark, tdir, s2).count() == 20
+    ops = [h["operation"] for h in catalog.history(tdir)]
+    assert ops == ["append", "append", "rollback"]
