@@ -1052,13 +1052,22 @@ def _interpret(content: bytes, page: PdfPage,
 
         op = val
         try:
-            if op == "Tf" and len(stack) >= 2:
-                size = float(stack[-1][1])
-                font_id = stack[-2][1]
+            # hottest ops first (one Tj+Td pair per text line dominates)
+            if op == "Tj" and stack:
+                tx += show(str(stack[-1][1]), tx, ty)
             elif op == "Td" and len(stack) >= 2:
                 lx += float(stack[-2][1])
                 ly += float(stack[-1][1])
                 tx, ty = lx, ly
+            elif op == "TJ" and stack and isinstance(stack[-1], list):
+                for k, v in stack[-1]:
+                    if k == "str":
+                        tx += show(str(v), tx, ty)
+                    elif k == "num":
+                        tx -= float(v) / 1000.0 * size
+            elif op == "Tf" and len(stack) >= 2:
+                size = float(stack[-1][1])
+                font_id = stack[-2][1]
             elif op == "TD" and len(stack) >= 2:
                 leading = -float(stack[-1][1])
                 lx += float(stack[-2][1])
@@ -1118,8 +1127,6 @@ def _interpret(content: bytes, page: PdfPage,
                 fill = _rgb255((1.0 - min(1.0, c_ + k_)),
                                (1.0 - min(1.0, m_ + k_)),
                                (1.0 - min(1.0, y_ + k_)))
-            elif op == "Tj" and stack:
-                tx += show(str(stack[-1][1]), tx, ty)
             elif op == "'" and stack:
                 ly -= leading
                 tx, ty = lx, ly
@@ -1130,12 +1137,6 @@ def _interpret(content: bytes, page: PdfPage,
                 ly -= leading
                 tx, ty = lx, ly
                 tx += show(str(stack[-1][1]), tx, ty)
-            elif op == "TJ" and stack and isinstance(stack[-1], list):
-                for k, v in stack[-1]:
-                    if k == "str":
-                        tx += show(str(v), tx, ty)
-                    elif k == "num":
-                        tx -= float(v) / 1000.0 * size
             elif op == "m" and len(stack) >= 2:
                 cx, cy = float(stack[-2][1]), float(stack[-1][1])
             elif op == "l" and len(stack) >= 2:
