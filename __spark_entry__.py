@@ -436,6 +436,24 @@ def _q_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web.host_stats(_docs(spark, sf_dir))
 
 
+def _q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic noisy urls (mixed-case
+    host, utm params, fragments, trailing slashes by doc_id class)."""
+    from pdf_parser_spark.analytics import web
+
+    docs = _docs(spark, sf_dir)
+    tail = (F.when(F.col("doc_id") % 4 == 0, "?utm_source=x&q=1")
+            .when(F.col("doc_id") % 4 == 1, "#frag")
+            .when(F.col("doc_id") % 4 == 2, "/")
+            .otherwise("?q=2"))
+    noisy = F.concat(F.lit("HTTPS://Site"),
+                     F.pmod("doc_id", F.lit(97)).cast("string"),
+                     F.lit(".Example/Path"), tail)
+    return docs.select(
+        "doc_id", noisy.alias("url_raw"),
+        web.normalize_url(noisy).alias("url_norm"))
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: 8-gram shingle overlap of candidates
     against the held-out set, broadcast semi-join shaped."""
@@ -576,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_features": _q_repetition,
         "chunk_documents": _q_chunks,
         "host_stats": _q_host_stats,
+        "url_normalize": _q_url_normalize,
         "contamination_check": _q_contamination,
         "tpch_q1": _q_tpch_q1,
         "tpch_q5": _q_tpch_q5,
@@ -896,6 +915,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens, "
             "round(CAST(sum(CAST(q AS DECIMAL(18,6))) AS DOUBLE) "
             "/ count(*), 6) AS avg_quality FROM q GROUP BY host"
+        ),
+        "url_normalize": (
+            "WITH raw AS (SELECT doc_id, concat('HTTPS://Site', "
+            "CAST(doc_id % 97 AS VARCHAR), '.Example/Path', "
+            "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&q=1' "
+            "     WHEN doc_id % 4 = 1 THEN '#frag' "
+            "     WHEN doc_id % 4 = 2 THEN '/' "
+            "     ELSE '?q=2' END) AS url_raw FROM documents), "
+            "s1 AS (SELECT doc_id, url_raw, "
+            "regexp_replace(url_raw, '#.*$', '', 'g') AS u FROM raw), "
+            "s2 AS (SELECT doc_id, url_raw, regexp_replace(u, "
+            "'([?&])utm_[^&]*', '\\1', 'g') AS u FROM s1), "
+            "s3 AS (SELECT doc_id, url_raw, regexp_replace(regexp_replace("
+            "u, '[?&]+$', '', 'g'), '\\?&+', '?', 'g') AS u FROM s2) "
+            "SELECT doc_id, url_raw, concat("
+            "lower(regexp_extract(u, '^([a-zA-Z]+://[^/]+)', 1)), "
+            "regexp_replace(regexp_replace(u, '^[a-zA-Z]+://[^/]+', '', "
+            "'g'), '/$', '', 'g')) AS url_norm FROM s3"
         ),
         "contamination_check": (
             _sql_shingle_hash_cte(8)
