@@ -27,6 +27,8 @@ Plan-shape notes for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -168,25 +170,42 @@ def contamination(docs: DataFrame, text_col: str = "text",
                   n: int = 8) -> DataFrame:
     """Benchmark decontamination: fraction of each candidate document's
     token ``n``-gram shingles that appear in the benchmark set
-    (doc_id % 100 == 7 plays the held-out benchmark here). Plan shape
-    for 100 TB: shingle hashing is per-row; the benchmark shingle set is
-    SMALL and broadcast, so the corpus explode never shuffles — the only
-    exchange is the narrow per-doc count aggregation."""
+    (doc_id % 100 == 7 plays the held-out benchmark here).
+
+    Plan shape for 100 TB: the benchmark shingle set is SMALL by
+    construction (benchmarks are a few thousand documents), so it is
+    collected once (bounded by benchmark size, never the corpus — the
+    same memory a broadcast-join build side would occupy driver-side)
+    and membership runs as a vectorized numpy isin inside an Arrow UDF.
+    The candidate side therefore never explodes, never joins, never
+    shuffles: the whole query is scan -> projection."""
     sh = with_shingle_hashes(docs, text_col, n=n).select(
         "doc_id", F.col("sh").alias("shn"))
     is_bench = F.col("doc_id") % 100 == 7
-    bench = (sh.where(is_bench)
-             .select(F.explode(F.array_distinct("shn")).alias("h"))
-             .distinct()
-             .withColumn("_hit", F.lit(1)))
-    cand = (sh.where(~is_bench)
-            .select("doc_id", F.explode("shn").alias("h")))
-    joined = cand.join(F.broadcast(bench), "h", "left")
-    return (joined.groupBy("doc_id")
-            .agg(F.count("*").alias("n_shingles"),
-                 F.coalesce(F.sum("_hit"), F.lit(0)).alias("contam_hits"))
-            .select("doc_id", "n_shingles",
-                    F.col("contam_hits").cast("long").alias("contam_hits"),
+    bench_rows = (sh.where(is_bench)
+                  .select(F.explode(F.array_distinct("shn")).alias("h"))
+                  .distinct().collect())
+    bench = np.array(sorted(r.h for r in bench_rows), dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def hits(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype="int64")
+        lens = col.map(len).to_numpy(dtype=np.int64)
+        # with_shingle_hashes guarantees >= 1 shingle per row, so the
+        # reduceat segments are never empty
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in col])
+        mask = np.isin(flat, bench).astype(np.int64)
+        starts = np.zeros(len(col), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        return pd.Series(np.add.reduceat(mask, starts))
+
+    return (sh.where(~is_bench)
+            .select("doc_id",
+                    F.size("shn").cast("long").alias("n_shingles"),
+                    hits(F.col("shn")).alias("contam_hits"))
+            .select("doc_id", "n_shingles", "contam_hits",
                     F.round(F.col("contam_hits")
                             / F.col("n_shingles"), 6).alias("contam_frac")))
 
