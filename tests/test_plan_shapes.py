@@ -56,13 +56,14 @@ def test_dedup_exact_is_one_shuffle_with_partial_agg(queries):
     assert _plan(df).count("HashAggregate") >= 2
 
 
-def test_ann_queries_broadcast_small_side_once(queries):
+def test_ann_queries_shuffle_only_the_final_topk(queries):
+    # IVF: probes broadcast into the lists; brute force: single-pass
+    # GEMM kernel, no join at all. In both, the ONLY real shuffle is
+    # the final <= partitions x k x Q window.
+    assert _broadcasts(queries["ann_ivf_topk"]) == 1
+    assert _broadcasts(queries["ann_brute_topk"]) == 0
     for name in ("ann_brute_topk", "ann_ivf_topk"):
-        df = queries[name]
-        assert _broadcasts(df) == 1, name
-        # the ONLY real shuffle is the final <= partitions x k x Q
-        # window (the partial top-k is partition-local mapInPandas)
-        assert _shuffles(df) == 1, name
+        assert _shuffles(queries[name]) == 1, name
 
 
 def test_ivf_corpus_side_never_shuffles(spark):
