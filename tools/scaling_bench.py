@@ -65,6 +65,7 @@ def _steal_ticks() -> int:
 
 
 def spark_level(cpus: int, replicate: int, sf_dir: str) -> dict:
+    s0 = _steal_ticks()
     out = subprocess.run(
         [sys.executable, "-c", SPARK_INNER % {"repo": REPO},
          str(cpus), str(replicate), sf_dir],
@@ -73,7 +74,9 @@ def spark_level(cpus: int, replicate: int, sf_dir: str) -> dict:
              if ln.startswith("{")]
     if not lines:
         raise RuntimeError(out.stderr[-2000:])
-    return json.loads(lines[-1])
+    res = json.loads(lines[-1])
+    res["steal_s"] = (_steal_ticks() - s0) / 100.0
+    return res
 
 
 def _mp_work(chunk: tuple[int, int, str, int]) -> float:
@@ -130,6 +133,12 @@ def main() -> None:
     for r in range(reps):
         for cpus in (4, 16, 8, 32):
             res = spark_level(cpus, replicate, sf_dir)
+            # a pass that absorbed a co-tenant steal burst is not a
+            # measurement of THIS code: retry once immediately
+            if res["steal_s"] > 20.0:
+                retry = spark_level(cpus, replicate, sf_dir)
+                if retry["docs_per_sec"] > res["docs_per_sec"]:
+                    res = retry
             if (cpus not in best
                     or res["docs_per_sec"] > best[cpus]["docs_per_sec"]):
                 best[cpus] = res
