@@ -59,11 +59,17 @@ def encrypt_for(doc_id: int) -> dict | None:
     doc_id%20==5) -> RC4-128 standard-security encryption with an EMPTY
     user password: parses with no password (like PyMuPDF's open-time
     attempt), so the routing/roundtrip oracles are unchanged while the
-    pipeline exercises decryption end-to-end. 1% matches real crawls
-    (encrypted PDFs are rare) and bounds the pure-Python RC4 cost —
-    the O/U password-check loops alone are ~1 ms/doc."""
+    pipeline exercises decryption end-to-end. doc_id % 100 == 45 (also
+    1%, also inside the PDF class) -> AES-256 R6 (V5 /AESV3), the
+    post-2010 Acrobat default. Both match real crawls (encrypted PDFs
+    are rare) and bound the pure-Python cipher cost: RC4's O/U check
+    loops are ~1 ms/doc, and R6's ~0.3 s Algorithm-2.B derivation is
+    memoized per worker because the writer uses corpus-constant salts
+    (pdf/writer.py) — per doc only AES-CBC of the streams remains."""
     if doc_id % 100 == 5:
         return {"method": "rc4-128", "user_pw": ""}
+    if doc_id % 100 == 45:
+        return {"method": "aes-256", "user_pw": ""}
     return None
 
 

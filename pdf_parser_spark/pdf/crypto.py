@@ -1,10 +1,13 @@
-"""PDF standard security handler (public spec, ISO 32000-1 §7.6):
-RC4-40/128 (V1/V2, R2/R3) and AES-128-CBC (V4 /AESV2, R4), pure Python
-(hashlib MD5 + generated AES tables — no external crypto deps, matching
-the sandbox constraint).
+"""PDF standard security handler (public spec, ISO 32000-1 §7.6 and
+ISO 32000-2 §7.6.4): RC4-40/128 (V1/V2, R2/R3), AES-128-CBC (V4 /AESV2,
+R4) and AES-256-CBC (V5 /AESV3, R5/R6), pure Python (hashlib + generated
+AES tables — no external crypto deps, matching the sandbox constraint).
 
 Reference behavior parity (reference core/document.py:109-123): decrypt
-on load; "no password" and "invalid password" are distinct load errors.
+on load; "no password" and "invalid password" are distinct load errors;
+both the user and the owner password open the document (PyMuPDF
+doc.authenticate() accepts either — Algorithm 7 recovers the user
+password from /O for V<5, the O/OE pair authenticates directly for V5).
 The writer-side encryptor lives here too so fixtures can round-trip.
 """
 
@@ -42,7 +45,7 @@ def rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-# -- AES-128 (tables generated from GF(2^8), verified vs FIPS-197) ----------
+# -- AES-128/256 (tables generated from GF(2^8), verified vs FIPS-197) ------
 
 def _build_tables():
     exp = [0] * 512
@@ -78,18 +81,113 @@ def _build_tables():
 _SBOX, _INV_SBOX, _GMUL = _build_tables()
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
+# byte multiplication tables: replace per-byte _GMUL() function calls in
+# MixColumns with list indexing (~4x on the Algorithm 2.B hot loop)
+_M2 = [_GMUL(a, 2) for a in range(256)]
+_M3 = [_GMUL(a, 3) for a in range(256)]
+_M9 = [_GMUL(a, 9) for a in range(256)]
+_M11 = [_GMUL(a, 11) for a in range(256)]
+_M13 = [_GMUL(a, 13) for a in range(256)]
+_M14 = [_GMUL(a, 14) for a in range(256)]
+
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule: 11 round keys of 16 bytes."""
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule: Nr+1 round keys of 16 bytes (AES-128: 11,
+    AES-192: 13, AES-256: 15 — FIPS-197 §5.2)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8):
+        raise ValueError(f"bad AES key length {len(key)}")
+    nr = nk + 6
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
-    return [sum(w[4 * r:4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]  # AES-256 extra SubWord
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
+    return [sum(w[4 * r:4 * r + 4], []) for r in range(nr + 1)]
+
+
+_RKS_CACHE: dict[bytes, list[list[int]]] = {}
+
+
+def _rks(key: bytes) -> list[list[int]]:
+    rk = _RKS_CACHE.get(key)
+    if rk is None:
+        if len(_RKS_CACHE) > 4096:  # bound worker-lifetime growth
+            _RKS_CACHE.clear()
+        rk = _RKS_CACHE[key] = _expand_key(key)
+    return rk
+
+
+# -- word-oriented encrypt path (32-bit T-tables, FSE/OpenSSL-style) --------
+# Encryption is the hot direction: Algorithm 2.B's iterated loop and all
+# fixture-side CBC runs ~10^4 blocks per derivation; the T-table round is
+# 16 list lookups + shifts on ints with no per-round list allocation
+# (~3-4x the byte-table path). Decryption keeps the byte tables — it never
+# appears inside 2.B.
+
+def _build_te():
+    te0 = [0] * 256
+    for x in range(256):
+        s = _SBOX[x]
+        te0[x] = (_M2[s] << 24) | (s << 16) | (s << 8) | _M3[s]
+    ror = lambda w: ((w >> 8) | (w << 24)) & 0xFFFFFFFF  # noqa: E731
+    te1 = [ror(w) for w in te0]
+    te2 = [ror(w) for w in te1]
+    te3 = [ror(w) for w in te2]
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_te()
+_RKW_CACHE: dict[bytes, list[int]] = {}
+
+
+def _words(rk: list[int]) -> list[int]:
+    return [(rk[i] << 24) | (rk[i + 1] << 16) | (rk[i + 2] << 8)
+            | rk[i + 3] for i in range(0, 16, 4)]
+
+
+def _rkw(key: bytes) -> list[list[int]]:
+    w = _RKW_CACHE.get(key)
+    if w is None:
+        if len(_RKW_CACHE) > 4096:
+            _RKW_CACHE.clear()
+        w = _RKW_CACHE[key] = [_words(rk) for rk in _rks(key)]
+    return w
+
+
+def _encrypt_words(s0: int, s1: int, s2: int, s3: int,
+                   rkw: list[list[int]]) -> tuple[int, int, int, int]:
+    te0, te1, te2, te3, sb = _TE0, _TE1, _TE2, _TE3, _SBOX
+    k = rkw[0]
+    s0 ^= k[0]; s1 ^= k[1]; s2 ^= k[2]; s3 ^= k[3]  # noqa: E702
+    for k in rkw[1:-1]:
+        t0 = (te0[s0 >> 24] ^ te1[(s1 >> 16) & 255]
+              ^ te2[(s2 >> 8) & 255] ^ te3[s3 & 255] ^ k[0])
+        t1 = (te0[s1 >> 24] ^ te1[(s2 >> 16) & 255]
+              ^ te2[(s3 >> 8) & 255] ^ te3[s0 & 255] ^ k[1])
+        t2 = (te0[s2 >> 24] ^ te1[(s3 >> 16) & 255]
+              ^ te2[(s0 >> 8) & 255] ^ te3[s1 & 255] ^ k[2])
+        t3 = (te0[s3 >> 24] ^ te1[(s0 >> 16) & 255]
+              ^ te2[(s1 >> 8) & 255] ^ te3[s2 & 255] ^ k[3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = rkw[-1]
+    t0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 255] << 16)
+          | (sb[(s2 >> 8) & 255] << 8) | sb[s3 & 255]) ^ k[0]
+    t1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 255] << 16)
+          | (sb[(s3 >> 8) & 255] << 8) | sb[s0 & 255]) ^ k[1]
+    t2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 255] << 16)
+          | (sb[(s0 >> 8) & 255] << 8) | sb[s1 & 255]) ^ k[2]
+    t3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 255] << 16)
+          | (sb[(s1 >> 8) & 255] << 8) | sb[s2 & 255]) ^ k[3]
+    return t0, t1, t2, t3
+
+
+_W4 = struct.Struct(">4I")
 
 
 def _add_rk(state, rk):
@@ -101,51 +199,38 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks) -> bytes:
-    s = _add_rk(list(block), rks[0])
-    for rnd in range(1, 10):
-        s = [_SBOX[b] for b in s]
-        s = [s[i] for i in _SHIFT]
-        out = [0] * 16
-        for c in range(4):
-            a = s[4 * c:4 * c + 4]
-            out[4 * c + 0] = _GMUL(a[0], 2) ^ _GMUL(a[1], 3) ^ a[2] ^ a[3]
-            out[4 * c + 1] = a[0] ^ _GMUL(a[1], 2) ^ _GMUL(a[2], 3) ^ a[3]
-            out[4 * c + 2] = a[0] ^ a[1] ^ _GMUL(a[2], 2) ^ _GMUL(a[3], 3)
-            out[4 * c + 3] = _GMUL(a[0], 3) ^ a[1] ^ a[2] ^ _GMUL(a[3], 2)
-        s = _add_rk(out, rks[rnd])
-    s = [_SBOX[b] for b in s]
-    s = [s[i] for i in _SHIFT]
-    return bytes(_add_rk(s, rks[10]))
+    """Single-block encrypt over byte-list round keys (test/KAT API);
+    bulk paths below go straight to the word kernel."""
+    rkw = [_words(rk) for rk in rks]
+    return _W4.pack(*_encrypt_words(*_W4.unpack(block), rkw))
 
 
 def _decrypt_block(block: bytes, rks) -> bytes:
-    s = _add_rk(list(block), rks[10])
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    s = _add_rk(list(block), rks[nr])
+    m9, m11, m13, m14, isb = _M9, _M11, _M13, _M14, _INV_SBOX
+    for rnd in range(nr - 1, 0, -1):
         s = [s[i] for i in _INV_SHIFT]
-        s = [_INV_SBOX[b] for b in s]
+        s = [isb[b] for b in s]
         s = _add_rk(s, rks[rnd])
         out = [0] * 16
-        for c in range(4):
-            a = s[4 * c:4 * c + 4]
-            out[4 * c + 0] = (_GMUL(a[0], 14) ^ _GMUL(a[1], 11)
-                              ^ _GMUL(a[2], 13) ^ _GMUL(a[3], 9))
-            out[4 * c + 1] = (_GMUL(a[0], 9) ^ _GMUL(a[1], 14)
-                              ^ _GMUL(a[2], 11) ^ _GMUL(a[3], 13))
-            out[4 * c + 2] = (_GMUL(a[0], 13) ^ _GMUL(a[1], 9)
-                              ^ _GMUL(a[2], 14) ^ _GMUL(a[3], 11))
-            out[4 * c + 3] = (_GMUL(a[0], 11) ^ _GMUL(a[1], 13)
-                              ^ _GMUL(a[2], 9) ^ _GMUL(a[3], 14))
+        for c in range(0, 16, 4):
+            a0, a1, a2, a3 = s[c], s[c + 1], s[c + 2], s[c + 3]
+            out[c] = m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3]
+            out[c + 1] = m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3]
+            out[c + 2] = m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3]
+            out[c + 3] = m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3]
         s = out
     s = [s[i] for i in _INV_SHIFT]
-    s = [_INV_SBOX[b] for b in s]
-    return bytes(_add_rk(s, rks[1 - 1]))
+    s = [isb[b] for b in s]
+    return bytes(_add_rk(s, rks[0]))
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
-    """PDF AESV2 layout: 16-byte IV prefix, PKCS#7 padding."""
+    """PDF AESV2/AESV3 layout: 16-byte IV prefix, PKCS#7 padding."""
     if len(data) < 32 or len(data) % 16:
         return b""  # malformed: degrade, never crash (E3 semantics)
-    rks = _expand_key(key)
+    rks = _rks(key)
     iv = data[:16]
     out = bytearray()
     prev = iv
@@ -162,16 +247,89 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
 
 def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
     """Fixture-side encryptor (deterministic IV supplied by caller)."""
-    rks = _expand_key(key)
     pad = 16 - (len(data) % 16)
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
+    return iv + aes_cbc_encrypt_nopad(key, data + bytes([pad]) * pad, iv)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """Raw CBC over a 16-aligned buffer — Algorithm 2.B / UE / OE use
+    this (no IV prefix in the output, no padding). Runs entirely on the
+    32-bit word kernel: the 2.B loop pushes ~10^4 blocks per derivation."""
+    rkw = _rkw(key)
+    out = bytearray(len(data))
+    p0, p1, p2, p3 = _W4.unpack(iv)
+    unpack, pack = _W4.unpack_from, _W4.pack_into
+    for i in range(0, len(data), 16):
+        b0, b1, b2, b3 = unpack(data, i)
+        p0, p1, p2, p3 = _encrypt_words(b0 ^ p0, b1 ^ p1, b2 ^ p2,
+                                        b3 ^ p3, rkw)
+        pack(out, i, p0, p1, p2, p3)
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    rks = _rks(key)
+    out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _encrypt_block(blk, rks)
-        out.extend(prev)
+        blk = data[i:i + 16]
+        out.extend(bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks),
+                                               prev)))
+        prev = blk
     return bytes(out)
+
+
+def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    rkw = _rkw(key)
+    out = bytearray(len(data))
+    for i in range(0, len(data), 16):
+        _W4.pack_into(out, i,
+                      *_encrypt_words(*_W4.unpack_from(data, i), rkw))
+    return bytes(out)
+
+
+def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    rks = _rks(key)
+    return b"".join(_decrypt_block(data[i:i + 16], rks)
+                    for i in range(0, len(data), 16))
+
+
+# -- AES-256 revision 6 key derivation (ISO 32000-2 §7.6.4.3.4) -------------
+
+_2B_CACHE: dict[tuple[bytes, bytes, bytes], bytes] = {}
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B: the R6 iterated SHA-2 hash. Memoized — the loop
+    costs ~10k pure-Python AES blocks, but every document of a corpus
+    sharing (password, salt, udata) derives the identical value, so a
+    long-lived Spark worker pays it once."""
+    ck = (password, salt, udata)
+    got = _2B_CACHE.get(ck)
+    if got is not None:
+        return got
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    e = b"\x00"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k1, k[16:32])
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[mod](e).digest()
+        i += 1
+    out = k[:32]
+    if len(_2B_CACHE) > 256:
+        _2B_CACHE.clear()
+    _2B_CACHE[ck] = out
+    return out
+
+
+def hash_v5(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """R5 (Adobe ext. 3): single SHA-256; R6: Algorithm 2.B."""
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_2b(password, salt, udata)
 
 
 def _pad_pw(pw: bytes) -> bytes:
@@ -234,12 +392,43 @@ def object_key(file_key: bytes, num: int, gen: int,
     return h.digest()[:min(len(file_key) + 5, 16)]
 
 
-class StandardSecurityHandler:
-    """Authenticates a user password and decrypts strings/streams.
+def recover_user_pw(owner_pw: bytes, o_entry: bytes, r: int,
+                    key_bytes: int) -> bytes:
+    """Algorithm 7 (decryption half): RC4-decrypt /O with the
+    owner-password-derived key to recover the padded user password."""
+    key = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key).digest()
+    key = key[:key_bytes]
+    data = o_entry[:32]
+    if r == 2:
+        return rc4(key, data)
+    for i in range(19, -1, -1):  # undo the 19-round XOR-key loop
+        data = rc4(bytes(b ^ i for b in key), data)
+    return data
 
-    Supports V1/V2 (RC4, R2/R3) and V4 with /StmF /StrF -> /CF entries
-    of /AESV2 (AES-128-CBC) or /V2 (RC4). Raises ValueError for other
-    handlers/revisions — callers map this to the document error ladder.
+
+def _cfm_cipher(enc: dict, which: str) -> str:
+    """Resolve a /StmF or /StrF entry to its CFM name ('Identity',
+    'V2', 'AESV2', 'AESV3')."""
+    name = enc.get(which, "Identity")
+    if name == "Identity":
+        return "Identity"
+    cf = enc.get("CF") or {}
+    return (cf.get(name) or {}).get("CFM", "Identity")
+
+
+class StandardSecurityHandler:
+    """Authenticates a user OR owner password and decrypts
+    strings/streams.
+
+    Supports V1/V2 (RC4, R2/R3), V4 with /StmF /StrF -> /CF entries of
+    /AESV2 (AES-128-CBC), /V2 (RC4) or /Identity, and V5 R5/R6 /AESV3
+    (AES-256-CBC, SHA-2 key derivation per ISO 32000-2 §7.6.4). Raises
+    ValueError for other handlers/revisions — callers map this to the
+    document error ladder. Streams and strings may use different crypt
+    filters (/StmF vs /StrF) and each is decrypted with its own cipher.
     """
 
     def __init__(self, enc: dict, id0: bytes):
@@ -248,28 +437,45 @@ class StandardSecurityHandler:
                 f"unsupported security handler {enc.get('Filter')!r}")
         self.v = int(enc.get("V", 0))
         self.r = int(enc.get("R", 2))
-        if self.v not in (1, 2, 4) or self.r not in (2, 3, 4):
+        if (self.v, self.r) not in {(1, 2), (1, 3), (2, 2), (2, 3),
+                                    (4, 4), (5, 5), (5, 6)}:
             raise ValueError(f"unsupported encryption V={self.v} R={self.r}")
         self.length = int(enc.get("Length", 40))
         self.key_bytes = 5 if self.r == 2 else self.length // 8
         self.o = enc.get("O", "").encode("latin-1")
         self.u = enc.get("U", "").encode("latin-1")
+        self.oe = enc.get("OE", "").encode("latin-1")
+        self.ue = enc.get("UE", "").encode("latin-1")
         self.p = int(enc.get("P", -1))
         self.id0 = id0
         self.encrypt_metadata = bool(enc.get("EncryptMetadata", True))
-        self.aes = False
-        if self.v == 4:
-            cf = enc.get("CF") or {}
-            stmf = enc.get("StmF", "Identity")
-            cfm = (cf.get(stmf) or {}).get("CFM", "Identity")
-            if cfm == "AESV2":
-                self.aes = True
+        # per-kind cipher: 'rc4' | 'aes' | 'aes256' | 'identity'
+        if self.v == 5:
+            self.stm_cipher = self.str_cipher = "aes256"
+            self.key_bytes = 32
+        elif self.v == 4:
+            ciphers = {}
+            for which in ("StmF", "StrF"):
+                cfm = _cfm_cipher(enc, which)
+                if cfm == "AESV2":
+                    ciphers[which] = "aes"
+                elif cfm == "V2":
+                    ciphers[which] = "rc4"
+                elif cfm == "Identity":
+                    ciphers[which] = "identity"
+                else:
+                    raise ValueError(f"unsupported crypt filter {cfm!r}")
+            self.stm_cipher = ciphers["StmF"]
+            self.str_cipher = ciphers["StrF"]
+            if "aes" in (self.stm_cipher, self.str_cipher):
                 self.key_bytes = 16
-            elif cfm != "V2":
-                raise ValueError(f"unsupported crypt filter {cfm!r}")
+        else:
+            self.stm_cipher = self.str_cipher = "rc4"
         self.key: bytes | None = None
 
-    def authenticate(self, user_pw: bytes) -> bool:
+    # -- authentication ------------------------------------------------
+
+    def _try_user_legacy(self, user_pw: bytes) -> bool:
         key = compute_key(user_pw, self.o, self.p, self.id0, self.r,
                           self.key_bytes, self.encrypt_metadata)
         u = compute_u(key, self.id0, self.r)
@@ -278,20 +484,61 @@ class StandardSecurityHandler:
             self.key = key
         return ok
 
-    def decrypt(self, data: bytes, num: int, gen: int) -> bytes:
+    def _authenticate_v5(self, pw: bytes) -> bool:
+        """Algorithm 2.A checks: user then owner (ISO 32000-2)."""
+        u, o = self.u, self.o
+        if len(u) < 48:
+            return False
+        if hash_v5(pw, u[32:40], b"", self.r) == u[:32]:
+            ik = hash_v5(pw, u[40:48], b"", self.r)
+            self.key = aes_cbc_decrypt_nopad(ik, self.ue[:32], bytes(16))
+            return True
+        if len(o) >= 48 and hash_v5(pw, o[32:40], u[:48], self.r) == o[:32]:
+            ik = hash_v5(pw, o[40:48], u[:48], self.r)
+            self.key = aes_cbc_decrypt_nopad(ik, self.oe[:32], bytes(16))
+            return True
+        return False
+
+    def authenticate(self, pw: bytes) -> bool:
+        """Accept either the user or the owner password (reference
+        parity: PyMuPDF doc.authenticate() tries both)."""
+        if self.v == 5:
+            return self._authenticate_v5(pw)
+        if self._try_user_legacy(pw):
+            return True
+        # Algorithm 7: recover the user password from /O and retry.
+        # _pad_pw truncates at 32 bytes, so feeding the recovered
+        # PADDED password back through the user path is exact.
+        recovered = recover_user_pw(pw, self.o, self.r, self.key_bytes)
+        return self._try_user_legacy(recovered)
+
+    # -- en/decryption ---------------------------------------------------
+
+    def _apply(self, data: bytes, num: int, gen: int, cipher: str,
+               decrypt: bool, iv: bytes | None = None) -> bytes:
         if self.key is None:
             raise ValueError("not authenticated")
-        k = object_key(self.key, num, gen, self.aes)
-        if self.aes:
-            return aes_cbc_decrypt(k, data)
-        return rc4(k, data)
+        if cipher == "identity":
+            return data
+        if cipher == "aes256":  # V5: file key used directly, no Alg 1
+            if decrypt:
+                return aes_cbc_decrypt(self.key, data)
+            return aes_cbc_encrypt(self.key, data, iv or bytes(16))
+        k = object_key(self.key, num, gen, cipher == "aes")
+        if cipher == "aes":
+            if decrypt:
+                return aes_cbc_decrypt(k, data)
+            return aes_cbc_encrypt(k, data, iv or bytes(16))
+        out = rc4(k, data)
+        return out
+
+    def decrypt(self, data: bytes, num: int, gen: int,
+                string: bool = False) -> bytes:
+        cipher = self.str_cipher if string else self.stm_cipher
+        return self._apply(data, num, gen, cipher, decrypt=True)
 
     # fixture-side: encryption is the same op for RC4, IV-prefixed for AES
     def encrypt(self, data: bytes, num: int, gen: int,
-                iv: bytes | None = None) -> bytes:
-        if self.key is None:
-            raise ValueError("not authenticated")
-        k = object_key(self.key, num, gen, self.aes)
-        if self.aes:
-            return aes_cbc_encrypt(k, data, iv or bytes(16))
-        return rc4(k, data)
+                iv: bytes | None = None, string: bool = False) -> bytes:
+        cipher = self.str_cipher if string else self.stm_cipher
+        return self._apply(data, num, gen, cipher, decrypt=False, iv=iv)

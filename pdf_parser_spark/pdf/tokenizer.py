@@ -77,6 +77,16 @@ class Ref(tuple):
     """Indirect reference (num, gen)."""
 
 
+class Name(str):
+    """A PDF Name token (``/Foo``).
+
+    Subclasses ``str`` so all existing comparisons/dict lookups work, but
+    lets the decryption layer distinguish names from literal/hex strings:
+    per ISO 32000 §7.6.2 names are NEVER encrypted, only strings are.
+    (Reference delegates this distinction to PyMuPDF's object model.)
+    """
+
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -141,8 +151,8 @@ class _Lexer:
                 else:
                     out.append(run[j])
                     j += 1
-            return out.decode("latin-1")
-        return run.decode("latin-1")
+            return Name(out.decode("latin-1"))
+        return Name(run.decode("latin-1"))
 
     _SIMPLE_STR_RE = re.compile(rb"\(([^()\\]*)\)")
 
@@ -469,9 +479,17 @@ class _Doc:
         self._crypt = handler
 
     def _decrypt_strings(self, val, num: int, gen: int):
-        """Recursively decrypt string leaves of a direct object."""
+        """Recursively decrypt string leaves of a direct object.
+
+        Names are skipped: ISO 32000 §7.6.2 — encryption applies to
+        strings and streams only, never to name objects (/BaseFont,
+        /Differences glyph names, /Type values must survive intact).
+        """
+        if isinstance(val, Name):
+            return val
         if isinstance(val, str):
-            raw = self._crypt.decrypt(val.encode("latin-1"), num, gen)
+            raw = self._crypt.decrypt(val.encode("latin-1"), num, gen,
+                                      string=True)
             return raw.decode("latin-1")
         if isinstance(val, list):
             return [self._decrypt_strings(v, num, gen) for v in val]

@@ -123,9 +123,9 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
     ``tounicode``  : font-id -> {byte code -> unicode str} (/ToUnicode CMap)
     ``differences``: font-id -> {byte code -> glyph name} (/Encoding)
     ``encrypt``    : standard security handler, e.g. {"method":
-                     "rc4-128"|"rc4-40"|"aes-128", "user_pw": "",
-                     "owner_pw": "owner"} — deterministic (fixed /ID and
-                     AES IVs derived from object numbers)"""
+                     "rc4-128"|"rc4-40"|"aes-128"|"aes-256", "user_pw":
+                     "", "owner_pw": "owner"} — deterministic (fixed /ID
+                     and AES IVs derived from object numbers)"""
     tounicode = tounicode or {}
     differences = differences or {}
     objs: list[bytes] = []  # 1-indexed object bodies (dict part only)
@@ -203,16 +203,46 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
         user_pw = encrypt.get("user_pw", "").encode("latin-1")
         owner_pw = encrypt.get("owner_pw", "owner").encode("latin-1")
         v, r, length = {"rc4-40": (1, 2, 40), "rc4-128": (2, 3, 128),
-                        "aes-128": (4, 4, 128)}[method]
+                        "aes-128": (4, 4, 128),
+                        "aes-256": (5, 6, 256)}[method]
         aes = method == "aes-128"
-        kb = 5 if r == 2 else length // 8
         id0 = hashlib.md5(b"".join(objs)).digest()  # deterministic /ID
-        o_entry = crypto.compute_o(owner_pw, user_pw, r, kb)
         p = -44
-        key = crypto.compute_key(user_pw, o_entry, p, id0, r, kb)
-        u_entry = crypto.compute_u(key, id0, r)
+        if v == 5:
+            # ISO 32000-2 §7.6.4.4: deterministic 32-byte file key and
+            # salts (fixture reproducibility); U/UE from the user pw,
+            # O/OE from the owner pw over U[0:48].
+            key = hashlib.sha256(b"filekey" + id0).digest()
+            # salts are corpus-CONSTANT (not id0-derived): every doc
+            # sharing (password, salt) hits the memoized Algorithm-2.B
+            # value, so a worker pays the ~0.3s derivation once per
+            # corpus, not once per document. File keys stay per-doc.
+            vs_u = hashlib.sha256(b"vsu").digest()[:8]
+            ks_u = hashlib.sha256(b"ksu").digest()[:8]
+            vs_o = hashlib.sha256(b"vso").digest()[:8]
+            ks_o = hashlib.sha256(b"kso").digest()[:8]
+            u_entry = crypto.hash_2b(user_pw, vs_u) + vs_u + ks_u
+            ue = crypto.aes_cbc_encrypt_nopad(
+                crypto.hash_2b(user_pw, ks_u), key, bytes(16))
+            o_entry = (crypto.hash_2b(owner_pw, vs_o, u_entry[:48])
+                       + vs_o + ks_o)
+            oe = crypto.aes_cbc_encrypt_nopad(
+                crypto.hash_2b(owner_pw, ks_o, u_entry[:48]), key,
+                bytes(16))
+            import struct as _struct
+            perms_clear = (_struct.pack("<i", p) + b"\xff\xff\xff\xff"
+                           + b"Tadb" + id0[:4])
+            perms = crypto.aes_ecb_encrypt(key, perms_clear)
+        else:
+            kb = 5 if r == 2 else length // 8
+            o_entry = crypto.compute_o(owner_pw, user_pw, r, kb)
+            key = crypto.compute_key(user_pw, o_entry, p, id0, r, kb)
+            u_entry = crypto.compute_u(key, id0, r)
 
         def enc_bytes(data: bytes, num: int) -> bytes:
+            if v == 5:  # AESV3: file key used directly
+                iv = hashlib.md5(b"iv%d" % num).digest()
+                return crypto.aes_cbc_encrypt(key, data, iv)
             ok = crypto.object_key(key, num, 0, aes)
             if aes:
                 iv = hashlib.md5(b"iv%d" % num).digest()
@@ -233,13 +263,23 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
                                    info_num).decode("latin-1")))
                 for k, val in info.items())
             objs[info_num - 1] = b"<< %s >>" % kv
-        cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-              b" /StmF /StdCF /StrF /StdCF" if aes else b"")
-        objs.append(
-            b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
-            b"/O <%s> /U <%s>%s >>"
-            % (v, r, length, p, o_entry.hex().encode(),
-               u_entry.hex().encode(), cf))
+        if v == 5:
+            objs.append(
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF >>"
+                % (p, o_entry.hex().encode(), u_entry.hex().encode(),
+                   oe.hex().encode(), ue.hex().encode(),
+                   perms.hex().encode()))
+        else:
+            cf = (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                  b" /StmF /StdCF /StrF /StdCF" if aes else b"")
+            objs.append(
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                b"/O <%s> /U <%s>%s >>"
+                % (v, r, length, p, o_entry.hex().encode(),
+                   u_entry.hex().encode(), cf))
         enc_num = len(objs)
 
     buf = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
