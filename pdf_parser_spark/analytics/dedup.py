@@ -36,6 +36,7 @@ N_MINHASH = 8        # permutations (bands x rows)
 N_BANDS = 4          # LSH bands -> 2 rows per band
 SHINGLE_N = 3        # token shingle width
 P = 2147483647       # Mersenne prime 2^31 - 1
+MAX_BENCH_SHINGLES = 10_000_000  # driver-side cap for contamination()
 
 
 def _md5_int(col):
@@ -99,7 +100,14 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     BOTH the banding branch (minhash over the distinct set — array_min
     is multiset-invariant, so this equals with_minhash's value) and the
     rerank branch. Catalyst does not CSE across the self-join, so
-    without the persist each branch would re-tokenize the corpus."""
+    without the persist each branch would re-tokenize the corpus.
+
+    Cache lifetime: the persisted frame must outlive the CALLER's
+    action, so this function cannot unpersist it. The handle is exposed
+    as ``result.lsh_persisted_base`` — long-lived sessions that call
+    this repeatedly should ``result.lsh_persisted_base.unpersist()``
+    after consuming the result (or pass persist=False to trade the
+    second tokenize pass for zero cache footprint)."""
     rows = N_MINHASH // bands
     base = (with_shingle_hashes(docs, text_col)
             .select("doc_id", F.array_distinct("sh").alias("shd")))
@@ -135,8 +143,10 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                                F.col("shd").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return pairs.select("doc_a", "doc_b",
-                        F.round(inter / union, 6).alias("jaccard"))
+    result = pairs.select("doc_a", "doc_b",
+                          F.round(inter / union, 6).alias("jaccard"))
+    result.lsh_persisted_base = base  # see docstring: caller may release
+    return result
 
 
 def simhash(docs: DataFrame, text_col: str = "text",
@@ -182,9 +192,17 @@ def contamination(docs: DataFrame, text_col: str = "text",
     sh = with_shingle_hashes(docs, text_col, n=n).select(
         "doc_id", F.col("sh").alias("shn"))
     is_bench = F.col("doc_id") % 100 == 7
-    bench_rows = (sh.where(is_bench)
-                  .select(F.explode(F.array_distinct("shn")).alias("h"))
-                  .distinct().collect())
+    bench_df = (sh.where(is_bench)
+                .select(F.explode(F.array_distinct("shn")).alias("h"))
+                .distinct())
+    # fail fast instead of OOMing the driver when the "benchmark" side
+    # is mis-shaped (it must stay broadcast-sized by construction)
+    bench_rows = bench_df.limit(MAX_BENCH_SHINGLES + 1).collect()
+    if len(bench_rows) > MAX_BENCH_SHINGLES:
+        raise ValueError(
+            f"contamination: benchmark shingle set exceeds "
+            f"{MAX_BENCH_SHINGLES} distinct hashes — this side must be "
+            f"benchmark-sized; shard the benchmark or use a bloom filter")
     bench = np.array(sorted(r.h for r in bench_rows), dtype=np.int64)
 
     @F.pandas_udf("long")

@@ -6,8 +6,12 @@
   top-k rank. The baseline every ANN variant is measured against.
 * lsh_topk — random-hyperplane LSH: deterministic seeded hyperplanes,
   sign-bit bucket key, candidates share >= (nbits - hamming_budget) bits,
-  exact rerank inside the candidate set. The scale path: candidate
-  generation is a bucket-key equi-join instead of a full cross join.
+  exact rerank inside the candidate set. Candidate generation is a
+  BUCKETED MULTIPROBE equi-join: each query row is exploded into its
+  hamming-ball probe keys (qkey XOR mask for every <=budget-bit mask —
+  a data-independent literal array), and probes equi-join the corpus on
+  the integer bucket key. Work is proportional to actual bucket
+  collisions, never O(N x Q).
 * ivf_topk — inverted-file ANN: expression-level centroid argmax (zero
   shuffles for assignment), deterministic k-means refinement, broadcast
   probe join.
@@ -28,6 +32,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+# driver-side collects are bounded BY CONSTRUCTION (query sets, centroid
+# seeds — never the corpus); these caps turn a mis-shaped input into a
+# fast, explicit error instead of a driver OOM
+MAX_QUERY_ROWS = 100_000
+MAX_SEED_ROWS = 65_536
+
+
+def _bounded_collect(df: DataFrame, cap: int, what: str) -> list:
+    """collect() that fails fast when the 'small' side isn't small.
+    Uses limit(cap+1) so the overflow check itself never materializes
+    more than cap+1 rows on the driver."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: more than {cap} rows on the driver-collected side "
+            f"— this input is not broadcast-sized; repartition the "
+            f"workload or raise the cap explicitly")
+    return rows
 
 
 def _dot(a, b):
@@ -109,7 +133,8 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
     vec_id asc) order. No N x Q row materialization — the old
     crossJoin shipped every (vector, query) pair through Arrow — and
     the only exchange is the final <= partitions x k x Q window."""
-    q_rows = queries.select("q_id", "q_emb").collect()
+    q_rows = _bounded_collect(queries.select("q_id", "q_emb"),
+                              MAX_QUERY_ROWS, "brute_force_topk queries")
     q_ids = np.array([int(r.q_id) for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q_emb for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
@@ -185,6 +210,23 @@ def signature_bits(emb_col, dim: int, nbits: int):
     return bits(emb_col)
 
 
+def _sig_key(sig_col, nbits: int):
+    """Pack an array<int> of sign bits into one integer bucket key
+    (bit i -> 2^i). Pure expression — stays in codegen."""
+    weights = F.array(*[F.lit(1 << i).cast("long") for i in range(nbits)])
+    return F.aggregate(
+        F.zip_with(sig_col, weights, lambda b, w: b.cast("long") * w),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def _hamming_ball_masks(nbits: int, budget: int) -> list[int]:
+    """All XOR masks within ``budget`` bits of zero — the multiprobe
+    enumeration (driver-side combinatorics over literals; for 8 bits /
+    budget 2 that is 1 + 8 + 28 = 37 masks)."""
+    return [m for m in range(1 << nbits)
+            if bin(m).count("1") <= budget]
+
+
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
              k: int = 10, nbits: int = 8,
              hamming_budget: int = 2) -> DataFrame:
@@ -192,20 +234,35 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, dim: int,
     within ``hamming_budget`` bits of the query's (multi-probe LSH),
     exact cosine rerank on the survivors.
 
+    Scale path: each query explodes into its hamming-ball probe keys
+    (qkey XOR mask over the literal mask set — C(nbits, <=budget) rows
+    per query, 37 for 8/2) and the probe side broadcast-HASH-equi-joins
+    the corpus on the integer bucket key. The corpus streams through a
+    hash lookup: no cross join, no per-pair hamming filter, work
+    proportional to true bucket collisions. Buckets are disjoint and a
+    corpus vector is at distance <= budget from exactly one probe key
+    per query, so no post-join dedup is needed.
+
     Recall/speed knob: on clustered data budget 2/8 bits keeps recall
     near 1.0 while pruning most of the corpus; on near-orthogonal random
     vectors sign bits carry little signal (any LSH degrades there) —
     raise the budget or nbits count accordingly."""
-    emb_sig = embeddings.withColumn(
-        "sig", signature_bits(F.col("embedding"), dim, nbits))
-    q_sig = queries.withColumn(
-        "qsig", signature_bits(F.col("q_emb"), dim, nbits))
-    joined = emb_sig.crossJoin(F.broadcast(q_sig)) \
-                    .where(F.col("vec_id") != F.col("q_id"))
-    hamming = F.aggregate(
-        F.zip_with("sig", "qsig", lambda a, b: (a != b).cast("int")),
-        F.lit(0), lambda acc, v: acc + v)
-    cand = joined.where(hamming <= hamming_budget)
+    emb_keyed = (embeddings
+                 .withColumn("sig", signature_bits(F.col("embedding"),
+                                                   dim, nbits))
+                 .withColumn("bkey", _sig_key(F.col("sig"), nbits))
+                 .drop("sig"))
+    masks = _hamming_ball_masks(nbits, hamming_budget)
+    probes = (queries
+              .withColumn("qsig", signature_bits(F.col("q_emb"),
+                                                 dim, nbits))
+              .withColumn("qkey", _sig_key(F.col("qsig"), nbits))
+              .withColumn("bkey", F.explode(F.array(
+                  *[F.col("qkey").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in masks])))
+              .select("q_id", "q_emb", "bkey"))
+    cand = (emb_keyed.join(F.broadcast(probes), "bkey")
+            .where(F.col("vec_id") != F.col("q_id")))
     scored = with_cosine(cand, "q_emb", "embedding")
     return _rank_topk(scored, k)
 
@@ -327,6 +384,11 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int,
     independent engine (the DuckDB oracle) reproduces them bit-for-bit
     despite summation-order differences. Driver memory is bounded by
     n_centroids x dim — never by the corpus."""
+    if n_centroids > MAX_SEED_ROWS:
+        raise ValueError(
+            f"kmeans_centroids: n_centroids={n_centroids} exceeds the "
+            f"driver-side cap {MAX_SEED_ROWS}; a coarse quantizer this "
+            f"wide should be trained hierarchically")
     seed = (embeddings.where(F.col("vec_id") < n_centroids)
             .select("vec_id", "embedding")
             .orderBy("vec_id").collect())
@@ -335,13 +397,19 @@ def kmeans_centroids(embeddings: DataFrame, n_centroids: int,
     dim = len(cents[0][1])
     for _ in range(iters):
         asg = _with_centroid(embeddings, "embedding", cents)
+        # decimal-exact sum then ONE double division (host_stats
+        # pattern): both engines round the identical exact value, and
+        # no float32 component can be an exact decimal-6 tie (a tie
+        # needs a 5^k denominator; floats are k/2^n), so the 6-dp
+        # rounding below is engine-independent
         stats = (asg.groupBy("centroid")
-                 .agg(*[F.avg(F.element_at("embedding", i + 1)
-                              .cast("double")).alias(f"d{i}")
+                 .agg(*[F.round(
+                     F.sum(F.element_at("embedding", i + 1)
+                           .cast("double").cast("decimal(18,6)"))
+                     .cast("double") / F.count("*"), 6).alias(f"d{i}")
                         for i in range(dim)])
                  .collect())
-        refined = {int(r["centroid"]): [round(r[f"d{i}"], 6)
-                                        for i in range(dim)]
+        refined = {int(r["centroid"]): [r[f"d{i}"] for i in range(dim)]
                    for r in stats}
         # empty cluster: keep the (6-dp rounded) previous centroid
         cents = [(cid, refined.get(cid, [round(v, 6) for v in vec]))
@@ -408,11 +476,19 @@ def _with_probes(df: DataFrame, emb_col: str,
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame,
              n_centroids: int = 16, nprobe: int = 4,
-             k: int = 10, kmeans_iters: int = 1) -> DataFrame:
+             k: int = 10, kmeans_iters: int = 1,
+             centroids: list[tuple[int, list[float]]] | None = None
+             ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    Coarse quantizer: first-``n_centroids``-by-vec_id seeds refined by
-    ``kmeans_iters`` deterministic Lloyd steps (kmeans_centroids).
+    Coarse quantizer: pass ``centroids`` (from an OFFLINE
+    kmeans_centroids run — train once, persist, reuse) so the query
+    does zero corpus passes before search. When ``centroids`` is None
+    the quantizer is trained inline (first-``n_centroids``-by-vec_id
+    seeds refined by ``kmeans_iters`` deterministic Lloyd steps) —
+    convenient for one-shot use, but that costs ~2 extra corpus passes
+    per call; serve real query workloads with precomputed centroids.
+
     Every vector is assigned to its max-cosine centroid by an
     expression-level argmax over centroid literals — a pure projection,
     no Exchange anywhere before assignment. Queries probe their
@@ -420,7 +496,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
     BROADCAST into the inverted lists, so the corpus is never shuffled:
     scan -> project(centroid) -> broadcast equi-join -> two-stage
     top-k."""
-    cents = kmeans_centroids(embeddings, n_centroids, iters=kmeans_iters)
+    cents = centroids if centroids is not None else kmeans_centroids(
+        embeddings, n_centroids, iters=kmeans_iters)
     lists = _with_centroid(embeddings, "embedding", cents)
     probes = (_with_probes(queries, "q_emb", cents, nprobe)
               .select("q_id", "q_emb",

@@ -332,3 +332,37 @@ def test_normalize_url(spark):
                     "want").collect()
     for r in out:
         assert r.got == r.want, (r.got, r.want)
+
+
+def test_driver_collect_size_guards(spark, emb, monkeypatch):
+    """Bounded driver collects fail FAST with a clear error when the
+    'small' side is not small (r2 verdict item 5)."""
+    import pytest
+
+    from pdf_parser_spark.analytics import dedup, similarity
+
+    # _bounded_collect: cap honored, overflow raises
+    small = emb.select("vec_id").limit(3)
+    assert len(similarity._bounded_collect(small, 10, "x")) == 3
+    with pytest.raises(ValueError, match="more than 2 rows"):
+        similarity._bounded_collect(emb.select("vec_id"), 2, "x")
+
+    # kmeans seed guard fires before any Spark work
+    with pytest.raises(ValueError, match="exceeds the driver-side cap"):
+        similarity.kmeans_centroids(emb, similarity.MAX_SEED_ROWS + 1)
+
+    # brute-force query-side guard
+    monkeypatch.setattr(similarity, "MAX_QUERY_ROWS", 2)
+    qs = similarity.make_queries(emb, n=5)
+    with pytest.raises(ValueError, match="brute_force_topk queries"):
+        similarity.brute_force_topk(emb, qs, k=3)
+
+    # contamination benchmark-shingle guard
+    monkeypatch.setattr(dedup, "MAX_BENCH_SHINGLES", 1)
+    docs = spark.createDataFrame(
+        [(7, "alpha beta gamma delta epsilon zeta eta theta iota"),
+         (107, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+         (1, "unrelated words entirely")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="benchmark shingle set"):
+        dedup.contamination(docs)

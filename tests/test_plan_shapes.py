@@ -30,9 +30,10 @@ def queries(spark):
     return {k: v(spark, SF0001) for k, v in em.queries().items()
             if k in {
                 "corpus_filter", "dedup_exact", "text_stats",
-                "ann_brute_topk", "ann_ivf_topk", "token_parity_by_lang",
-                "contamination_check", "repetition_features",
-                "chunk_documents", "host_stats", "quality_features",
+                "ann_brute_topk", "ann_ivf_topk", "ann_lsh_topk",
+                "token_parity_by_lang", "contamination_check",
+                "repetition_features", "chunk_documents", "host_stats",
+                "quality_features", "dedup_lsh_pairs", "tpch_q5",
             }}
 
 
@@ -64,6 +65,38 @@ def test_ann_queries_shuffle_only_the_final_topk(queries):
     assert _broadcasts(queries["ann_brute_topk"]) == 0
     for name in ("ann_brute_topk", "ann_ivf_topk"):
         assert _shuffles(queries[name]) == 1, name
+
+
+def test_lsh_topk_is_bucketed_hash_equi_join(queries):
+    """Multiprobe LSH candidates come from a HASH equi-join on the
+    integer bucket key — never a BroadcastNestedLoopJoin scanning all
+    N x Q pairs (the r2 verdict's last O(N x Q) plan)."""
+    plan = _plan(queries["ann_lsh_topk"])
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") == 1
+    # corpus side streams: only the final top-k window shuffles
+    assert _shuffles(queries["ann_lsh_topk"]) == 1
+
+
+def test_dedup_lsh_pairs_shuffles_narrow_rows_only(queries):
+    """The banding self-join must exchange narrow (doc_id, band,
+    bucket) rows — shingle arrays re-attach to the few survivors
+    afterwards, never riding the pair-join shuffle."""
+    plan = _plan(queries["dedup_lsh_pairs"])
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "shd" not in ln and "sh_a" not in ln \
+                and "sh_b" not in ln, ln
+
+
+def test_tpch_q5_broadcasts_dims(queries):
+    """All five dimension sides of the 6-way join broadcast; the only
+    hash exchanges are the two fact-sized ones (orders|->lineitem build
+    and the final aggregation)."""
+    df = queries["tpch_q5"]
+    assert _broadcasts(df) >= 3
+    assert _shuffles(df) <= 2
 
 
 def test_ivf_corpus_side_never_shuffles(spark):
