@@ -24,12 +24,22 @@ _NUM_RE = re.compile(r"\d+\.?\d*")  # reference detector.py:337
 def detect_tables(segments: list[Segment], spans: list[SpanIR],
                   page_height: float) -> list[TableIR]:
     """Full T1->T3 pipeline. Returns validated tables with bboxes in the
-    FLIPPED (bottom-left) frame, exactly like the reference."""
+    FLIPPED (bottom-left) frame, exactly like the reference.
+
+    Merged-cell inference (beyond-parity: the reference MODELS
+    rowspan/colspan, output/models.py:211-239, but its detector never
+    emits them): an interior grid edge with no covering rule merges its
+    two cells; rectangular merge regions become one CellIR with
+    rowspan/colspan through the shared TableIR, which the ASCII/markdown
+    renderers and the HTML path already honor. Fully-ruled lattices
+    produce only 1x1 regions — byte-identical to the pre-inference
+    output."""
     lattices = _find_lattices(segments)
     tables: list[TableIR] = []
-    for xs, ys in lattices:
+    for xs, ys, vs, hs in lattices:
         data = _extract_data(xs, ys, spans)
-        t = _convert(data, xs, ys, page_height)
+        regions = _merged_regions(xs, ys, vs, hs)
+        t = _convert(data, xs, ys, page_height, regions)
         if t and _validate(t):
             tables.append(t)
     return tables
@@ -89,14 +99,104 @@ def _find_lattices(segments: list[Segment]) -> list[tuple[list[float], list[floa
         vs, hs = comps.setdefault(r, ([], []))
         (vs if i < len(verts) else hs).append(s)
 
-    lattices: list[tuple[list[float], list[float]]] = []
+    lattices: list[tuple[list[float], list[float],
+                         list[Segment], list[Segment]]] = []
     for vs, hs in comps.values():
         xs = _snap([(s.x0 + s.x1) / 2 for s in vs], tol)
         ys = _snap([(s.y0 + s.y1) / 2 for s in hs], tol)
         if len(xs) >= 2 and len(ys) >= 2:
-            lattices.append((xs, ys))
+            lattices.append((xs, ys, vs, hs))
     lattices.sort(key=lambda g: (g[1][0], g[0][0]))  # top-to-bottom
     return lattices
+
+
+def _merge_intervals(iv: list[tuple[float, float]],
+                     tol: float) -> list[tuple[float, float]]:
+    if not iv:
+        return []
+    iv = sorted(iv)
+    out = [list(iv[0])]
+    for lo, hi in iv[1:]:
+        if lo <= out[-1][1] + tol:
+            out[-1][1] = max(out[-1][1], hi)
+        else:
+            out.append([lo, hi])
+    return [(a, b) for a, b in out]
+
+
+def _rule_coverage(snapped: list[float], segs: list[Segment],
+                   vertical: bool, tol: float
+                   ) -> dict[float, list[tuple[float, float]]]:
+    """For each snapped grid coordinate, the union of intervals (along
+    the OTHER axis) actually covered by rules."""
+    cov: dict[float, list[tuple[float, float]]] = {v: [] for v in snapped}
+    for s in segs:
+        c = (s.x0 + s.x1) / 2 if vertical else (s.y0 + s.y1) / 2
+        best = min(snapped, key=lambda v: abs(v - c))
+        if abs(best - c) <= tol:
+            span = sorted((s.y0, s.y1)) if vertical else sorted((s.x0, s.x1))
+            cov[best].append((span[0], span[1]))
+    return {k: _merge_intervals(v, tol) for k, v in cov.items()}
+
+
+def _edge_covered(intervals: list[tuple[float, float]], lo: float,
+                  hi: float, tol: float) -> bool:
+    return any(a <= lo + tol and b >= hi - tol for a, b in intervals)
+
+
+def _merged_regions(xs: list[float], ys: list[float],
+                    vs: list[Segment], hs: list[Segment]
+                    ) -> dict[tuple[int, int], tuple[int, int]]:
+    """Infer merged cells from MISSING interior rules: two neighbors
+    whose shared grid edge no rule covers belong to one region.
+    Returns {(row, col) anchor -> (rowspan, colspan)}; every grid cell
+    is inside exactly one region (1x1 when fully ruled). Non-rectangular
+    merge components degrade to 1x1 cells (E3 semantics — a weird rule
+    pattern must not corrupt the grid)."""
+    tol = TABLES.snap_tolerance
+    nrows, ncols = len(ys) - 1, len(xs) - 1
+    vcov = _rule_coverage(xs, vs, True, tol)
+    hcov = _rule_coverage(ys, hs, False, tol)
+
+    parent = list(range(nrows * ncols))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for r in range(nrows):
+        for c in range(ncols - 1):  # vertical edge between (r,c),(r,c+1)
+            if not _edge_covered(vcov[xs[c + 1]], ys[r], ys[r + 1], tol):
+                union(r * ncols + c, r * ncols + c + 1)
+    for r in range(nrows - 1):      # horizontal edge between rows
+        for c in range(ncols):
+            if not _edge_covered(hcov[ys[r + 1]], xs[c], xs[c + 1], tol):
+                union(r * ncols + c, (r + 1) * ncols + c)
+
+    comps: dict[int, list[tuple[int, int]]] = {}
+    for r in range(nrows):
+        for c in range(ncols):
+            comps.setdefault(find(r * ncols + c), []).append((r, c))
+
+    regions: dict[tuple[int, int], tuple[int, int]] = {}
+    for cells in comps.values():
+        r0 = min(r for r, _ in cells)
+        c0 = min(c for _, c in cells)
+        rs = max(r for r, _ in cells) - r0 + 1
+        cs = max(c for _, c in cells) - c0 + 1
+        if len(cells) == rs * cs:
+            regions[(r0, c0)] = (rs, cs)
+        else:  # non-rectangular: keep the grid intact
+            for r, c in cells:
+                regions[(r, c)] = (1, 1)
+    return regions
 
 
 def _extract_data(xs: list[float], ys: list[float],
@@ -136,9 +236,12 @@ def _extract_data(xs: list[float], ys: list[float],
 
 
 def _convert(data: list[list[str | None]], xs: list[float],
-             ys: list[float], page_height: float) -> TableIR | None:
+             ys: list[float], page_height: float,
+             regions: dict[tuple[int, int], tuple[int, int]] | None = None
+             ) -> TableIR | None:
     """Reference detector.py:183-296: min_rows gate, y-flip, uniform-grid
-    cells, header detection."""
+    cells, header detection. ``regions`` (anchor -> span) comes from
+    merged-cell inference; None means every cell is 1x1."""
     if not data or len(data) < TABLES.min_rows:
         return None
     # top-left-frame bbox of the lattice, flipped like detector.py:208-214
@@ -148,7 +251,7 @@ def _convert(data: list[list[str | None]], xs: list[float],
         x1=xs[-1],
         y1=page_height - ys[0],
     )
-    cells = _cells_from_data(data, bbox)
+    cells = _cells_from_data(data, bbox, regions)
     if not cells:
         return None
     num_rows = len(data)
@@ -164,10 +267,15 @@ def _convert(data: list[list[str | None]], xs: list[float],
     )
 
 
-def _cells_from_data(data: list[list[str | None]],
-                     bbox: BBox) -> list[CellIR]:
+def _cells_from_data(data: list[list[str | None]], bbox: BBox,
+                     regions: dict[tuple[int, int], tuple[int, int]]
+                     | None = None) -> list[CellIR]:
     """Reference detector.py:243-296: uniform cell grid computed top-down
-    in the FLIPPED frame; None -> ''; is_header = (row == 0)."""
+    in the FLIPPED frame; None -> ''; is_header = (row == 0). A merged
+    region emits ONE CellIR at its anchor whose text is the row-major
+    join of its constituent cells' texts and whose bbox covers the
+    region (covered cells emit nothing — TableIR.get_cell resolves
+    them, reference models.py:263-283)."""
     num_rows = len(data)
     num_cols = max(len(r) for r in data) if data else 0
     if not num_rows or not num_cols:
@@ -177,13 +285,29 @@ def _cells_from_data(data: list[list[str | None]],
     cells: list[CellIR] = []
     for ri, row in enumerate(data):
         for ci, text in enumerate(row):
+            if regions is None:
+                rs, cs = 1, 1
+            elif (ri, ci) in regions:
+                rs, cs = regions[(ri, ci)]
+            else:
+                continue  # covered by another region's anchor
+            if rs == 1 and cs == 1:
+                cell_text = str(text or "").strip()
+            else:
+                parts = [str(data[r][c] or "").strip()
+                         for r in range(ri, ri + rs)
+                         for c in range(ci, ci + cs)
+                         if r < len(data) and c < len(data[r])]
+                cell_text = " ".join(p for p in parts if p)
             x0 = bbox.x0 + ci * cw
             y1 = bbox.y1 - ri * ch
             cells.append(CellIR(
-                text=str(text or "").strip(),
-                bbox=BBox(x0, y1 - ch, x0 + cw, y1),
+                text=cell_text,
+                bbox=BBox(x0, y1 - ch * rs, x0 + cw * cs, y1),
                 row=ri,
                 col=ci,
+                rowspan=rs,
+                colspan=cs,
                 is_header=(ri == 0),
                 alignment=LEFT,
             ))

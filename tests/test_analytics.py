@@ -141,11 +141,81 @@ def test_media_features_shape(spark):
     assert total < 1e-3
 
 
-def test_decode_real_is_stubbed():
-    from pdf_parser_spark.analytics import multimodal
+def _make_bmp(w: int, h: int) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP with real pixel rows."""
+    row = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    pix = bytes(row) * h
+    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + bytes(4)
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + bytes(24))
+    return header + pix
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_real(b"\x89PNG...", "image")
+
+def _make_wav(seconds: float, rate: int = 8000) -> bytes:
+    """PCM16 mono WAV with a real data chunk."""
+    n = int(seconds * rate)
+    data = bytes(2 * n)
+    byte_rate = rate * 2
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + (4 + len(body) - 4 + 4).to_bytes(4, "little") + body
+
+
+def test_decode_real_header_formats():
+    """Header-only formats decode from real bytes; compressed codecs
+    still raise (r2 verdict item 6)."""
+    from pdf_parser_spark.analytics import multimodal as M
+
+    d = M.decode_real(_make_bmp(17, 9))
+    assert (d["format"], d["width"], d["height"]) == ("bmp", 17, 9)
+    # top-down BMP stores negative height
+    neg = bytearray(_make_bmp(4, 2))
+    neg[22:26] = (-2).to_bytes(4, "little", signed=True)
+    assert M.decode_real(bytes(neg))["height"] == 2
+
+    d = M.decode_real(_make_wav(1.5))
+    assert d["format"] == "wav" and d["duration_ms"] == 1500
+
+    ppm = b"P6\n# a comment\n640 480\n255\n" + bytes(10)
+    d = M.decode_real(ppm)
+    assert (d["format"], d["width"], d["height"]) == ("pnm", 640, 480)
+
+    png = (b"\x89PNG\r\n\x1a\n" + bytes(8)
+           + (320).to_bytes(4, "big") + (200).to_bytes(4, "big"))
+    d = M.decode_real(png)
+    assert (d["format"], d["width"], d["height"]) == ("png", 320, 200)
+
+    gif = b"GIF89a" + (12).to_bytes(2, "little") + (34).to_bytes(2, "little")
+    d = M.decode_real(gif)
+    assert (d["format"], d["width"], d["height"]) == ("gif", 12, 34)
+
+    with pytest.raises(NotImplementedError):       # JPEG needs a codec
+        M.decode_real(b"\xff\xd8\xff\xe0" + bytes(64))
+    with pytest.raises(NotImplementedError):       # truncated PNM
+        M.decode_real(b"P6\n# nothing else")
+
+
+def test_decode_media_spark(spark):
+    """Spark-side decode: values come from payload bytes, undecodable
+    payloads degrade to format='opaque' (no executor crash)."""
+    from pdf_parser_spark.analytics import multimodal as M
+
+    rows = [(1, "image", _make_bmp(8, 4)),
+            (2, "audio", _make_wav(0.25)),
+            (3, "video", b"\x00\x00\x00\x18ftypmp42" + bytes(32))]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    got = {r.media_id: r for r in M.decode_media(media).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("bmp", 8, 4)
+    assert (got[2].format, got[2].duration_ms) == ("wav", 250)
+    assert got[3].format == "opaque" and got[3].width is None
 
 
 def test_lang_features_guess_english(spark):

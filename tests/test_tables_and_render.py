@@ -192,3 +192,68 @@ def test_text_strategy_ignores_prose():
         "repeated again and again to make several lines", 3))
     page = analyze_page(pdf.pages[0], text_tables=True)
     assert page.tables == []
+
+
+def fixture_merged_cell_pdf():
+    """3x3 lattice with the interior vertical rule between cols 0-1
+    MISSING in the header row -> cells (0,0)+(0,1) merge (colspan 2)."""
+    x0, top = 100, 600
+    xs = [x0 + 120 * i for i in range(4)]
+    ys = [top - 24 * i for i in range(4)]  # PDF y, top-down rows
+    rules = [Rule(xs[0], y, xs[-1], y) for y in ys]
+    rules += [Rule(xs[0], ys[-1], xs[0], ys[0]),
+              Rule(xs[3], ys[-1], xs[3], ys[0]),
+              Rule(xs[2], ys[-1], xs[2], ys[0]),
+              # x=xs[1]: rows 1-2 only; header-row segment absent
+              Rule(xs[1], ys[-1], xs[1], ys[1])]
+    texts = [Text(xs[0] + 4, ys[0] - 16, "WIDE", "F1", 10),
+             Text(xs[2] + 4, ys[0] - 16, "HDR", "F1", 10)]
+    data = [["b1", "c2", "d3"], ["e4", "f5", "g6"]]
+    for ri, row in enumerate(data):
+        for ci, v in enumerate(row):
+            texts.append(Text(xs[ci] + 4, ys[ri + 1] - 16, v, "F1", 10))
+    return build_pdf([Page(texts=texts, rules=rules)])
+
+
+def test_pdf_merged_cell_inference():
+    """Missing interior rules become rowspan/colspan CellIRs through the
+    shared TableIR (r2 verdict item 7)."""
+    doc = parse_pdf_document("u", fixture_merged_cell_pdf())
+    (t,) = doc.pages[0].tables
+    anchors = {(c.row, c.col): c for c in t.cells}
+    assert (0, 0) in anchors and anchors[(0, 0)].colspan == 2
+    assert anchors[(0, 0)].text == "WIDE"
+    assert (0, 1) not in anchors          # covered by the anchor
+    assert t.get_cell(0, 1).text == "WIDE"  # rowspan-aware lookup
+    # every other cell stays 1x1
+    assert all(c.colspan == 1 and c.rowspan == 1
+               for c in t.cells if (c.row, c.col) != (0, 0))
+
+
+def test_pdf_merged_cell_renders_like_html_equivalent():
+    """The merged-cell PDF fixture renders byte-identically to the
+    equivalent HTML colspan table (shared TableIR + renderer)."""
+    from pdf_parser_spark.html.extract import extract_html
+
+    doc = parse_pdf_document("u", fixture_merged_cell_pdf())
+    pdf_ascii = doc.pages[0].tables[0].ascii_representation
+
+    html = (b"<html><body><table>"
+            b"<tr><th colspan=2>WIDE</th><th>HDR</th></tr>"
+            b"<tr><td>b1</td><td>c2</td><td>d3</td></tr>"
+            b"<tr><td>e4</td><td>f5</td><td>g6</td></tr>"
+            b"</table><p>enough surrounding prose to keep the page "
+            b"nonempty for the extractor</p></body></html>")
+    res = extract_html(html)
+    html_table_lines = [ln for ln in res["text"].split("\n")
+                        if ln.startswith(("|", "+"))]
+    assert pdf_ascii.strip().split("\n") == html_table_lines
+
+
+def test_fully_ruled_lattice_has_no_merged_cells():
+    """Parity guard: a complete rule grid must keep producing only 1x1
+    cells (merged-cell inference changes nothing when rules exist)."""
+    doc = parse_pdf_document("u", fixture_table_pdf())
+    (t,) = doc.pages[0].tables
+    assert all(c.rowspan == 1 and c.colspan == 1 for c in t.cells)
+    assert len(t.cells) == 9
