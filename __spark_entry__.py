@@ -59,13 +59,23 @@ def _roundtrip_kernel(render):
     return kernel
 
 
+def _fanout(narrow: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a NARROW (few-hundred-bytes/row) frame to one task
+    wave before a CPU-heavy mapInPandas kernel. A single parquet file
+    scans as one partition, which would serialize the whole render+parse
+    on one core (r2's roundtrip 'regression' was exactly this); the
+    shuffle moved here is doc_id+text+lang — a few MB — for a 32x
+    parallelism win."""
+    return narrow.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _q_extract_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML path roundtrip: text -> boilerplate-wrapped HTML -> DOM walk +
     link-density strip -> text. Covers S2 (bytes source), HTML extractor."""
     from pdf_parser_spark.html.writer import render_html
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = docs.select("doc_id", "text", "lang").mapInPandas(
+    out = _fanout(docs.select("doc_id", "text", "lang"), spark).mapInPandas(
         _roundtrip_kernel(lambda t, i, l: render_html(t, i, l)),
         _ROUNDTRIP_SCHEMA)
     return out.select(
@@ -80,7 +90,7 @@ def _q_extract_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.datagen.pages import render_pdf_doc
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = docs.select("doc_id", "text", "lang").mapInPandas(
+    out = _fanout(docs.select("doc_id", "text", "lang"), spark).mapInPandas(
         _roundtrip_kernel(lambda t, i, l: render_pdf_doc(t, i)),
         _ROUNDTRIP_SCHEMA)
     return out.select(
@@ -387,7 +397,7 @@ def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
                                columns=["doc_id", "front_matter", "body"])
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = docs.select("doc_id", "text").mapInPandas(
+    out = _fanout(docs.select("doc_id", "text"), spark).mapInPandas(
         kernel, "doc_id long, front_matter string, body string")
     return out.select(
         "doc_id", "front_matter",
