@@ -4,7 +4,9 @@ efficiency >= 0.8 from N to 4N executors).
 No real cluster exists in this sandbox, so the sanctioned proxy is the
 same job at two parallelism levels on IDENTICAL input, each level in a
 fresh subprocess (a SparkSession's master is fixed for the JVM lifetime),
-measured on the second (warm) pass.
+measured on the second (warm) pass. Per-pass /proc/stat steal is recorded
+in-band; disturbed passes are discarded, the median clean pass is kept
+(see main()).
 
 Two N->4N pairs are measured, plus a no-Spark hardware control:
 
@@ -115,49 +117,70 @@ def hw_control_pass(procs: int, sf_dir: str, replicate: int) -> dict:
             "docs_per_sec": docs / wall}
 
 
+STEAL_CLEAN_S = 5.0     # a pass stealing more than this is discarded
+
+
+def _pick(passes: list[dict]) -> dict:
+    """Steal-aware selection: DISCARD passes whose /proc/stat steal
+    exceeded STEAL_CLEAN_S (they measure the co-tenant, not this code)
+    and take the MEDIAN throughput of the clean remainder. If every
+    pass was disturbed, fall back to the least-stolen one and flag it.
+    Replaces best-of-N, which could ride a lucky burst."""
+    import statistics
+
+    clean = [p for p in passes if p["steal_s"] <= STEAL_CLEAN_S]
+    pool = clean or [min(passes, key=lambda p: p["steal_s"])]
+    med = statistics.median(p["docs_per_sec"] for p in pool)
+    chosen = min(pool, key=lambda p: abs(p["docs_per_sec"] - med))
+    chosen = dict(chosen)
+    chosen["n_clean"] = len(clean)
+    chosen["n_total"] = len(passes)
+    chosen["all_dirty"] = not clean
+    return chosen
+
+
 def main() -> None:
-    """Levels are INTERLEAVED round-robin across repetitions and the
-    per-level BEST pass is kept: this VM shares a physical host with
-    co-tenants whose load phases last minutes (observed: local[32]
-    swinging 9.9k -> 23k docs/s between back-to-back runs, /proc/stat
-    steal accumulating). Running all reps of one level back-to-back
-    lets a co-tenant phase poison one SIDE of the efficiency ratio;
-    interleaving spreads the noise symmetrically, and best-of keeps the
-    least-disturbed sample per level."""
+    """Levels are INTERLEAVED round-robin across repetitions; per level,
+    passes disturbed by co-tenant steal (> STEAL_CLEAN_S of /proc/stat
+    steal during the pass) are DISCARDED and the median clean pass is
+    reported, with each kept sample's steal in-band. This VM shares a
+    physical host with co-tenants whose load phases last minutes
+    (observed: local[32] swinging 9.9k -> 23k docs/s between
+    back-to-back runs). Running all reps of one level back-to-back lets
+    a co-tenant phase poison one SIDE of the efficiency ratio;
+    interleaving spreads the noise symmetrically, and the steal filter
+    removes it instead of hoping a best-of got lucky."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     replicate = int(os.environ.get("BENCH_REPLICATE", "32"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     steal0 = _steal_ticks()
-    best: dict[int, dict] = {}
+    samples: dict[int, list[dict]] = {4: [], 16: [], 8: [], 32: []}
     for r in range(reps):
         for cpus in (4, 16, 8, 32):
-            res = spark_level(cpus, replicate, sf_dir)
-            # a pass that absorbed a co-tenant steal burst is not a
-            # measurement of THIS code: retry once immediately
-            if res["steal_s"] > 20.0:
-                retry = spark_level(cpus, replicate, sf_dir)
-                if retry["docs_per_sec"] > res["docs_per_sec"]:
-                    res = retry
-            if (cpus not in best
-                    or res["docs_per_sec"] > best[cpus]["docs_per_sec"]):
-                best[cpus] = res
-    s4, s8, s16, s32 = best[4], best[8], best[16], best[32]
+            samples[cpus].append(spark_level(cpus, replicate, sf_dir))
+    kept = {c: _pick(ps) for c, ps in samples.items()}
+    s4, s8, s16, s32 = kept[4], kept[8], kept[16], kept[32]
 
-    hbest: dict[int, dict] = {}
+    hsamples: dict[int, list[dict]] = {8: [], 32: []}
     for r in range(reps):
         for procs in (8, 32):
+            st0 = _steal_ticks()
             res = hw_control_pass(procs, sf_dir, max(4, replicate // 4))
-            if (procs not in hbest
-                    or res["docs_per_sec"] > hbest[procs]["docs_per_sec"]):
-                hbest[procs] = res
-    h8, h32 = hbest[8], hbest[32]
+            res["steal_s"] = (_steal_ticks() - st0) / 100.0
+            hsamples[procs].append(res)
+    h8, h32 = _pick(hsamples[8]), _pick(hsamples[32])
     steal_s = (_steal_ticks() - steal0) / 100.0
 
     eff_4_16 = s16["docs_per_sec"] / (4 * s4["docs_per_sec"])
     eff_8_32 = s32["docs_per_sec"] / (4 * s8["docs_per_sec"])
     hw_eff = h32["docs_per_sec"] / (4 * h8["docs_per_sec"])
     normalized = eff_8_32 / hw_eff if hw_eff else float("nan")
+
+    def _fmt(p: dict) -> str:
+        flag = " (ALL PASSES DISTURBED)" if p.get("all_dirty") else ""
+        return (f"{p['docs_per_sec']:.0f} docs/s, steal {p['steal_s']:.1f}s,"
+                f" clean {p['n_clean']}/{p['n_total']}{flag}")
 
     result = {
         "metric": "scaling_efficiency_N_to_4N",
@@ -175,6 +198,11 @@ def main() -> None:
             "local8": round(s8["docs_per_sec"], 1),
             "local32": round(s32["docs_per_sec"], 1),
         },
+        "kept_sample_steal_s": {
+            str(c): round(kept[c]["steal_s"], 1) for c in (4, 8, 16, 32)},
+        "clean_passes": {
+            str(c): f"{kept[c]['n_clean']}/{kept[c]['n_total']}"
+            for c in (4, 8, 16, 32)},
         "docs": s32["docs"],
         "sf_dir": sf_dir,
         "steal_seconds_during_bench": round(steal_s, 1),
@@ -189,22 +217,22 @@ def main() -> None:
 ## Extraction pipeline (scan -> mapInPandas tokenizer/layout/formatter)
 
 Input: {sf_dir} documents x replicate={replicate} ({s32['docs']} docs;
-~70% HTML / 25% PDF (1 in 4 PDFs RC4-encrypted) / 5% malformed;
-deterministic heavy tail every 500th doc). Warm pass measured; one task
-wave per level; no byte shuffle (extraction is embarrassingly parallel —
-see engine/job.py). Levels INTERLEAVED round-robin x{reps} reps,
-per-level best kept: the VM shares a physical host whose co-tenant load
-phases last minutes (observed local[32] swinging 9.9k->23k docs/s
-between runs; {steal_s:.0f}s of /proc/stat steal accrued during this
-bench), so sequential per-level runs let one phase poison one side of
-the efficiency ratio.
+~70% HTML / 25% PDF (1 in 25 PDFs RC4-encrypted, 1 in 25 AES-256 R6) /
+5% malformed; deterministic heavy tail every 500th doc). Warm pass
+measured; one task wave per level; no byte shuffle (extraction is
+embarrassingly parallel — see engine/job.py).
 
-| parallelism | wall (s) | throughput (docs/s) |
+Noise control: levels INTERLEAVED round-robin x{reps} reps; passes with
+more than {STEAL_CLEAN_S:.0f}s of /proc/stat steal are DISCARDED (they
+measure the co-tenant, not this code) and the MEDIAN clean pass is kept.
+{steal_s:.0f}s of steal accrued across the whole bench.
+
+| parallelism | wall (s) | kept sample (median of clean) |
 |---|---|---|
-| local[4]  | {s4['wall']:.2f} | {s4['docs_per_sec']:.0f} |
-| local[8]  | {s8['wall']:.2f} | {s8['docs_per_sec']:.0f} |
-| local[16] | {s16['wall']:.2f} | {s16['docs_per_sec']:.0f} |
-| local[32] | {s32['wall']:.2f} | {s32['docs_per_sec']:.0f} |
+| local[4]  | {s4['wall']:.2f} | {_fmt(s4)} |
+| local[8]  | {s8['wall']:.2f} | {_fmt(s8)} |
+| local[16] | {s16['wall']:.2f} | {_fmt(s16)} |
+| local[32] | {s32['wall']:.2f} | {_fmt(s32)} |
 
 **Scaling efficiency N->4N (local[4]->local[16]) = {eff_4_16:.3f}** —
 north-rule threshold 0.8: {"PASS" if eff_4_16 >= 0.8 else "FAIL"}.
@@ -212,12 +240,13 @@ Secondary pair local[8]->local[32] = {eff_8_32:.3f}.
 
 ### Hardware control (no Spark)
 
-The identical per-doc kernel under plain ``multiprocessing`` on this VM:
+The identical per-doc kernel under plain ``multiprocessing`` on this VM
+(same steal-discard rule):
 
-| procs | throughput (docs/s) |
+| procs | kept sample |
 |---|---|
-| 8  | {h8['docs_per_sec']:.0f} |
-| 32 | {h32['docs_per_sec']:.0f} |
+| 8  | {_fmt(h8)} |
+| 32 | {_fmt(h32)} |
 
 Host ceiling 8->32 = {hw_eff:.3f} (allocator/memory-bandwidth bound at
 full 32-vCPU saturation — no framework involved). Normalizing the Spark
