@@ -593,6 +593,33 @@ def _q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .cast("double"), 4).alias("sum_value")))
 
 
+
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the LSH
+    jaccard>=0.5 graph via iterative hash-to-min label propagation
+    (rounds = component diameter; narrow-row shuffles only)."""
+    from pdf_parser_spark.analytics import dedup
+
+    return dedup.dedup_clusters(_docs(spark, sf_dir), min_jaccard=0.5)
+
+
+def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection/redaction: per-doc regex match counts + redacted
+    text, all JVM expressions (zero shuffles)."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.pii_features(_docs(spark, sf_dir))
+
+
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram pruning signal: fraction of each doc's 5-gram
+    shingles occurring in >= 3 distinct documents (CCNet/C4-style),
+    over narrow hash rows."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.boilerplate_ngrams(_docs(spark, sf_dir), n=5, min_docs=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_roundtrip": _q_extract_html,
@@ -624,6 +651,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": _q_tpch_q5,
         "orders_with_returns": _q_orders_with_returns,
         "top_customers_by_nation": _q_top_customers,
+        "dedup_clusters": _q_dedup_clusters,
+        "pii_features": _q_pii,
+        "boilerplate_ngrams": _q_boilerplate,
         "sessionize_events": _q_sessionize,
         "hourly_events": _q_hourly_events,
     }
@@ -708,6 +738,18 @@ _LANG_MARKERS_SQL = {
 
 
 def oracle_sql() -> dict[str, str]:
+    from pdf_parser_spark.analytics.text import PII_PATTERNS
+
+    pii_counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        f"AS n_{kind}" for kind, pat in PII_PATTERNS.items())
+    pii_total = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for pat in PII_PATTERNS.values())
+    red = "text"
+    for kind, pat in PII_PATTERNS.items():  # same order as pii_features
+        red = f"regexp_replace({red}, '{pat}', '[PII:{kind}]', 'g')"
+
     roundtrip = (
         "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
         "AS extracted FROM documents"
@@ -778,6 +820,54 @@ def oracle_sql() -> dict[str, str]:
             "JOIN shd sb ON p.doc_b = sb.doc_id"
         ),
         "dedup_simhash": _sql_simhash(16),
+        "dedup_clusters": (
+            _sql_minhash_cte(8).replace("WITH ", "WITH RECURSIVE ", 1)
+            + f", banded AS ({banded}), "
+            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, "
+            "b.doc_id AS doc_b FROM banded a JOIN banded b "
+            "ON a.band = b.band AND a.bucket = b.bucket "
+            "AND a.doc_id < b.doc_id), "
+            "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
+            "pj AS (SELECT p.doc_a, p.doc_b, "
+            "round(CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) / "
+            "(len(sa.sd) + len(sb.sd) "
+            " - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))), 6) "
+            "AS jaccard "
+            "FROM pairs p JOIN shd sa ON p.doc_a = sa.doc_id "
+            "JOIN shd sb ON p.doc_b = sb.doc_id), "
+            # connected components: propagate every reachable label,
+            # keep the minimum per node (mirrors hash-to-min fixpoint)
+            "edges AS (SELECT doc_a AS s, doc_b AS t FROM pj "
+            "WHERE jaccard >= 0.5 "
+            "UNION ALL SELECT doc_b, doc_a FROM pj WHERE jaccard >= 0.5), "
+            "reach(v, l) AS (SELECT doc_id AS v, doc_id AS l "
+            "FROM documents "
+            "UNION SELECT e.t, r.l FROM reach r JOIN edges e "
+            "ON e.s = r.v) "
+            "SELECT v AS doc_id, min(l) AS cluster_id FROM reach "
+            "GROUP BY v"
+        ),
+        "pii_features": (
+            f"SELECT doc_id, {pii_counts}, "
+            f"CAST({pii_total} AS BIGINT) AS n_pii, "
+            f"{red} AS redacted FROM documents"
+        ),
+        "boilerplate_ngrams": (
+            _sql_shingle_hash_cte(5)
+            + ", ex AS (SELECT doc_id, unnest(list_distinct(s)) AS h "
+            "FROM sh), "
+            "common AS (SELECT h FROM ex GROUP BY h "
+            "HAVING count(DISTINCT doc_id) >= 3), "
+            "hits AS (SELECT doc_id, count(*) AS n_common FROM ex "
+            "JOIN common USING (h) GROUP BY doc_id), "
+            "per AS (SELECT doc_id, len(list_distinct(s)) AS n_shingles "
+            "FROM sh) "
+            "SELECT p.doc_id, CAST(p.n_shingles AS BIGINT) AS n_shingles, "
+            "CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common, "
+            "round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / p.n_shingles, "
+            "6) AS boilerplate_frac "
+            "FROM per p LEFT JOIN hits h USING (doc_id)"
+        ),
         "media_features": (
             "WITH b AS (SELECT doc_id, encode(text) AS blob "
             "FROM documents), "

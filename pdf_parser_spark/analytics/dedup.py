@@ -228,6 +228,62 @@ def contamination(docs: DataFrame, text_col: str = "text",
                             / F.col("n_shingles"), 6).alias("contam_frac")))
 
 
+def dedup_clusters(docs: DataFrame, text_col: str = "text",
+                   min_jaccard: float = 0.5,
+                   max_iters: int = 20) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    LSH candidate graph (edges = pairs with jaccard >= min_jaccard),
+    cluster_id = min doc_id in the component. Every document gets a row
+    (singletons map to themselves) — the form a dedup pass consumes to
+    pick one canonical doc per cluster.
+
+    Distributed algorithm: iterative hash-to-min label propagation —
+    label(v) := min(label(v), min over neighbors' labels) until a
+    fixpoint. Each round is two narrow-row shuffles (edge join + min
+    aggregation); rounds needed = component diameter, which for
+    near-duplicate clusters is tiny (duplicates of one source document
+    form near-cliques). ``max_iters`` bounds pathological chains; at
+    10^12-doc scale swap the inner step for large-star/small-star
+    (Kiveris et al.) to cut rounds to O(log n) — the driver loop and
+    convergence check stay identical."""
+    cand = lsh_candidate_pairs(docs, text_col)
+    pairs = (cand.where(F.col("jaccard") >= min_jaccard)
+             .select("doc_a", "doc_b"))
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")).persist()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
+                 .persist()
+    for _ in range(max_iters):
+        prop = (edges.join(labels.withColumnRenamed("doc_id", "s"), "s")
+                .groupBy(F.col("t").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (labels.join(prop, "doc_id", "left")
+                      .select("doc_id",
+                              F.least(F.col("cluster_id"),
+                                      F.coalesce("nbr_min", "cluster_id"))
+                              .alias("cluster_id"))
+                      .persist())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    cand.lsh_persisted_base.unpersist()
+    result = labels.select("doc_id", "cluster_id")
+    # labels is already materialized by the convergence-check counts;
+    # expose the handle so long-lived sessions can release it (same
+    # contract as lsh_candidate_pairs)
+    result.lsh_persisted_base = labels
+    return result
+
+
 # kept for callers that want raw shingle hash arrays
 def shingles(text_col, n: int = SHINGLE_N):
     """DEPRECATED in favor of with_shingle_hashes (see PERF invariants in

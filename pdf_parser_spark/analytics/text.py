@@ -193,3 +193,69 @@ def fingerprints(docs: DataFrame, text_col: str = "text",
         F.array_min("sh").alias("fp_min"),
         F.array_max("sh").alias("fp_max"),
     )
+
+
+# PII patterns chosen for identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b word breaks —
+# no backreferences or lookaround (RE2 has neither).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_features(docs: DataFrame, text_col: str = "text",
+                 redact: bool = True) -> DataFrame:
+    """PII detection/redaction (corpus-sanitization family): per-doc
+    match counts for each pattern plus a redacted text column where
+    every match becomes ``[PII:<kind>]``. Pure JVM expressions
+    (regexp_count / regexp_replace) — zero shuffles, composable into
+    corpus_filter-style projections."""
+    cols = [F.col("doc_id")]
+    total = None
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_count(F.col(text_col), F.lit(pat))
+        cols.append(c.cast("long").alias(f"n_{kind}"))
+        total = c if total is None else total + c
+    cols.append(total.cast("long").alias("n_pii"))
+    if redact:
+        red = F.col(text_col)
+        for kind, pat in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, f"[PII:{kind}]")
+        cols.append(red.alias("redacted"))
+    return docs.select(*cols)
+
+
+def boilerplate_ngrams(docs: DataFrame, text_col: str = "text",
+                       n: int = 5, min_docs: int = 3) -> DataFrame:
+    """Boilerplate pruning signal (CCNet/C4-style): for each document,
+    how many of its token ``n``-gram shingles occur in >= ``min_docs``
+    DISTINCT documents, and the boilerplate fraction.
+
+    Plan shape for 100 TB: explode NARROW (doc_id, shingle-hash) rows
+    (never text), one map-side-combined groupBy for the global shingle
+    document-frequency, filter to the common tail, then one equi-join
+    back and a final per-doc count — the exchanges carry 16-byte rows
+    and the common-shingle side shrinks with min_docs. No driver-side
+    state at any size."""
+    sh = with_shingle_hashes(docs, text_col, n=n).select(
+        "doc_id", F.explode(F.array_distinct("sh")).alias("h"))
+    common = (sh.groupBy("h")
+              .agg(F.count_distinct("doc_id").alias("df"))
+              .where(F.col("df") >= min_docs)
+              .select("h"))
+    hits = (sh.join(common, "h")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_common")))
+    per_doc = with_shingle_hashes(docs, text_col, n=n).select(
+        "doc_id", F.size(F.array_distinct("sh")).alias("n_shingles"))
+    return (per_doc.join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.col("n_shingles").cast("long").alias("n_shingles"),
+                    F.coalesce("n_common", F.lit(0)).cast("long")
+                    .alias("n_common"),
+                    F.round(F.coalesce("n_common", F.lit(0))
+                            / F.col("n_shingles"), 6)
+                    .alias("boilerplate_frac")))

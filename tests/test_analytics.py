@@ -436,3 +436,55 @@ def test_driver_collect_size_guards(spark, emb, monkeypatch):
         "doc_id long, text string")
     with pytest.raises(ValueError, match="benchmark shingle set"):
         dedup.contamination(docs)
+
+
+def test_dedup_clusters_connected_components(spark):
+    """A~B and B~C chain into one cluster labeled min(doc_id); unrelated
+    docs stay singletons."""
+    from pdf_parser_spark.analytics import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [
+        (10, base),
+        (11, base + " phi"),                 # ~ 10
+        (12, base + " phi chi"),             # ~ 11 (and 10)
+        (50, "totally different words with no overlap at all in any "
+             "shingle of this much longer unrelated document text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, min_jaccard=0.3).collect()}
+    assert got[10] == got[11] == got[12] == 10
+    assert got[50] == 50
+
+
+def test_pii_features_counts_and_redaction(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    rows = [(1, "contact bob@example.com or 555-867-5309 at 10.0.0.1"),
+            (2, "ssn 123-45-6789 leaked twice 123-45-6789"),
+            (3, "clean text with no identifiers present here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.pii_features(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 \
+        and got[1].n_ipv4 == 1 and got[1].n_pii == 3
+    assert "[PII:email]" in got[1].redacted \
+        and "bob@example.com" not in got[1].redacted
+    assert got[2].n_ssn == 2 and "123-45-6789" not in got[2].redacted
+    assert got[3].n_pii == 0 and got[3].redacted == rows[2][1]
+
+
+def test_boilerplate_ngrams_flags_shared_phrase(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    footer = "all rights reserved by the site operator"
+    rows = [(i, f"unique words {i} alpha beta gamma " + footer)
+            for i in range(3)]
+    rows.append((9, "entirely fresh prose with nothing shared across "
+                    "any of the other documents at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           T.boilerplate_ngrams(docs, n=5, min_docs=3).collect()}
+    assert all(got[i].n_common > 0 for i in range(3))
+    assert got[9].n_common == 0 and got[9].boilerplate_frac == 0.0
