@@ -745,3 +745,37 @@ def test_password_auth_property():
                 parse_pdf(data, password=other)
 
     auth_roundtrip()
+
+
+def test_v5_r5_single_hash_handler():
+    """R5 (Adobe ext. 3 predecessor of R6) derives keys with ONE SHA-256
+    instead of Algorithm 2.B; build the U/UE + O/OE records by hand and
+    authenticate both passwords through the handler."""
+    import hashlib
+
+    from pdf_parser_spark.pdf import crypto
+
+    file_key = hashlib.sha256(b"k").digest()
+    vs_u, ks_u = b"vsalt_u_", b"ksalt_u_"
+    vs_o, ks_o = b"vsalt_o_", b"ksalt_o_"
+    user_pw, owner_pw = b"u-pass", b"o-pass"
+    u = hashlib.sha256(user_pw + vs_u).digest() + vs_u + ks_u
+    ue = crypto.aes_cbc_encrypt_nopad(
+        hashlib.sha256(user_pw + ks_u).digest(), file_key, bytes(16))
+    o = hashlib.sha256(owner_pw + vs_o + u[:48]).digest() + vs_o + ks_o
+    oe = crypto.aes_cbc_encrypt_nopad(
+        hashlib.sha256(owner_pw + ks_o + u[:48]).digest(), file_key,
+        bytes(16))
+    enc = {"Filter": "Standard", "V": 5, "R": 5, "Length": 256, "P": -44,
+           "O": o.decode("latin-1"), "U": u.decode("latin-1"),
+           "OE": oe.decode("latin-1"), "UE": ue.decode("latin-1")}
+
+    h = crypto.StandardSecurityHandler(enc, b"")
+    assert h.authenticate(user_pw) and h.key == file_key
+    h2 = crypto.StandardSecurityHandler(enc, b"")
+    assert h2.authenticate(owner_pw) and h2.key == file_key
+    h3 = crypto.StandardSecurityHandler(enc, b"")
+    assert not h3.authenticate(b"wrong")
+    # V5 object decryption uses the file key directly (no Algorithm 1)
+    blob = crypto.aes_cbc_encrypt(file_key, b"seekrit stream", b"\x01" * 16)
+    assert h.decrypt(blob, 99, 0) == b"seekrit stream"
