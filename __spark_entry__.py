@@ -370,6 +370,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("f0", 6).alias("f0"))
 
 
+def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata decode with a FULL value oracle: real BMP/WAV
+    bytes are synthesized from doc_id arithmetic, decode_media parses
+    width/height/duration back OUT of the bytes, and DuckDB reproduces
+    the expected values as a CASE projection."""
+    from pdf_parser_spark.analytics import multimodal
+
+    media = multimodal.synth_media_table(_docs(spark, sf_dir))
+    return multimodal.decode_media(media)
+
+
 def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown sink roundtrip (S6): PDF -> markdown; body paragraphs are
     plain text in md, front-matter is the Info title — both checked."""
@@ -640,6 +651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_tokens,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "media_decode": _q_media_decode,
         "extract_markdown_roundtrip": _q_extract_markdown,
         "corpus_filter": _q_corpus_filter,
         "repetition_features": _q_repetition,
@@ -883,6 +895,19 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_filter(range(1, n + 1), "
             "i -> substr(hx, 2 * i - 1, 1) = '0')) AS DOUBLE) / n, 6) "
             "AS f0 FROM h"
+        ),
+        "media_decode": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' "
+            "ELSE 'opaque' END AS format, "
+            "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 100 + 1 "
+            "AS INTEGER) END AS width, "
+            "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 50 + 1 "
+            "AS INTEGER) END AS height, "
+            "CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 30 + 1) * 100 "
+            "AS INTEGER) END AS duration_ms FROM documents"
         ),
         "extract_markdown_roundtrip": (
             "SELECT doc_id, "

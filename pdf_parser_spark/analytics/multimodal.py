@@ -216,6 +216,63 @@ def decode_media(media: DataFrame) -> DataFrame:
                 .mapInPandas(batches, DECODED_SCHEMA)
 
 
+def make_bmp(w: int, h: int) -> bytes:
+    """Minimal BITMAPINFOHEADER 24-bit BMP with real (zeroed) pixel
+    rows — fixture-synthesis helper shared with the tests."""
+    row = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    pix = bytes(row) * h
+    return (b"BM" + (54 + len(pix)).to_bytes(4, "little") + bytes(4)
+            + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little", signed=True)
+            + h.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+            + bytes(24)) + pix
+
+
+def make_wav(duration_ms: int, rate: int = 8000) -> bytes:
+    """PCM16 mono WAV with a real data chunk sized to duration_ms."""
+    n = duration_ms * rate // 1000
+    data = bytes(2 * n)
+    byte_rate = rate * 2
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = (b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + len(data).to_bytes(4, "little") + data)
+    return b"RIFF" + (len(body) + 4).to_bytes(4, "little") + body
+
+
+def synth_media_table(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-FORMAT media sidecar synthesized from doc_id
+    (the value-oracle twin of decode_media): doc_id%3==0 -> BMP whose
+    dimensions are doc_id arithmetic, ==1 -> WAV whose duration is
+    doc_id arithmetic, ==2 -> an opaque mp4-magic blob. Because every
+    decoded value is a pure function of doc_id, the DuckDB oracle is a
+    CASE projection while the Spark side round-trips actual bytes."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                out["media_id"].append(did)
+                m = did % 3
+                if m == 0:
+                    out["kind"].append("image")
+                    out["payload"].append(
+                        make_bmp(did % 100 + 1, did % 50 + 1))
+                elif m == 1:
+                    out["kind"].append("audio")
+                    out["payload"].append(make_wav((did % 30 + 1) * 100))
+                else:
+                    out["kind"].append("video")
+                    out["payload"].append(
+                        b"\x00\x00\x00\x18ftypmp42" + bytes(16))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        batches, "media_id long, kind string, payload binary")
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Oracle-reproducible media table: the documents' utf-8 bytes act
     as opaque payloads (DuckDB recomputes them with encode(text), so the
