@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape
 from html.parser import HTMLParser
 
 from ..config import HTML
@@ -28,12 +29,13 @@ _VOID = {"br", "hr", "img", "input", "meta", "link", "area", "base",
 _HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 
 
-@dataclass
+@dataclass(slots=True)
 class _Node:
     tag: str                       # "" for text nodes
     text: str = ""
     children: list["_Node"] = field(default_factory=list)
     parent: "_Node | None" = None
+    attrs: dict | None = None      # element attributes (None for text)
 
 
 class _TreeBuilder(HTMLParser):
@@ -51,14 +53,14 @@ class _TreeBuilder(HTMLParser):
 
     def handle_starttag(self, tag, attrs):
         node = _Node(tag=tag, parent=self.stack[-1])
-        node.attrs = dict(attrs)  # type: ignore[attr-defined]
+        node.attrs = dict(attrs)
         self.stack[-1].children.append(node)
         if tag not in _VOID:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
         node = _Node(tag=tag, parent=self.stack[-1])
-        node.attrs = dict(attrs)  # type: ignore[attr-defined]
+        node.attrs = dict(attrs)
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
@@ -92,8 +94,6 @@ def _fast_tree(html_str: str) -> _Node:
     """Regex tokenizer producing the same tree as _TreeBuilder: implicit
     closing, stray end tags ignored, entities decoded in text, raw-text
     elements (script/style) skipped to their close tag."""
-    from html import unescape
-
     root = _Node(tag="#root")
     stack = [root]
     pos = 0
@@ -126,13 +126,13 @@ def _fast_tree(html_str: str) -> _Node:
             continue
         node = _Node(tag=tag, parent=stack[-1])
         if attrs_s and ("=" in attrs_s or attrs_s.strip()):
-            node.attrs = {  # type: ignore[attr-defined]
+            node.attrs = {
                 k.lower(): (v or "").strip("\"'")
                 for k, v in _ATTR_RE.findall(attrs_s)
                 if k
             }
         else:
-            node.attrs = {}  # type: ignore[attr-defined]
+            node.attrs = {}
         stack[-1].children.append(node)
         if selfclose or tag in _VOID:
             continue
@@ -166,7 +166,7 @@ def _texts(node: _Node, in_anchor: bool,
 
 def _span_attr(node: _Node, name: str) -> int:
     try:
-        v = int(getattr(node, "attrs", {}).get(name, "1") or 1)
+        v = int((node.attrs or {}).get(name, "1") or 1)
     except (TypeError, ValueError):
         return 1
     return max(1, min(v, 1000))
@@ -328,7 +328,7 @@ def extract_html(data: bytes, fast: bool = True) -> dict:
                     " ", "".join(c.text for c in ch.children if c.tag == "")
                 ).strip()
             if ch.tag == "html":
-                lang = getattr(ch, "attrs", {}).get("lang", "") or lang
+                lang = (ch.attrs or {}).get("lang", "") or lang
             if ch.tag:
                 _find_meta(ch)
 
