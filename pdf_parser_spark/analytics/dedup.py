@@ -254,8 +254,13 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
                      F.col("doc_a").alias("doc_b"))
     ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")).persist()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
-                 .persist()
+    # iterate ONLY over vertices that appear in the graph: near-dup
+    # edges cover a small fraction of a deduplicated corpus, so each
+    # round's shuffles are graph-sized, never corpus-sized; singletons
+    # join in once at the end
+    labels = (edges.select(F.col("s").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .persist())
     for _ in range(max_iters):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "s"), "s")
                 .groupBy(F.col("t").alias("doc_id"))
@@ -276,7 +281,11 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
             break
     edges.unpersist()
     cand.lsh_persisted_base.unpersist()
-    result = labels.select("doc_id", "cluster_id")
+    result = (docs.select("doc_id")
+              .join(labels, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("cluster_id", F.col("doc_id"))
+                      .alias("cluster_id")))
     # labels is already materialized by the convergence-check counts;
     # expose the handle so long-lived sessions can release it (same
     # contract as lsh_candidate_pairs)

@@ -236,26 +236,25 @@ def boilerplate_ngrams(docs: DataFrame, text_col: str = "text",
 
     Plan shape for 100 TB: explode NARROW (doc_id, shingle-hash) rows
     (never text), one map-side-combined groupBy for the global shingle
-    document-frequency, filter to the common tail, then one equi-join
-    back and a final per-doc count — the exchanges carry 16-byte rows
-    and the common-shingle side shrinks with min_docs. No driver-side
-    state at any size."""
+    document-frequency, filter to the common tail, then a left join
+    back and ONE per-doc aggregation counting both total and common
+    shingles — the exchanges carry 16-byte rows and the common-shingle
+    side shrinks with min_docs. No driver-side state at any size. (The
+    exploded frame is evaluated twice — frequency branch and join
+    branch; at 10^12 docs it is too large to cache and recompute is the
+    right trade, the tokenize being map-side-only.)"""
     sh = with_shingle_hashes(docs, text_col, n=n).select(
         "doc_id", F.explode(F.array_distinct("sh")).alias("h"))
     common = (sh.groupBy("h")
               .agg(F.count_distinct("doc_id").alias("df"))
               .where(F.col("df") >= min_docs)
-              .select("h"))
-    hits = (sh.join(common, "h")
+              .select("h", F.lit(1).alias("_c")))
+    return (sh.join(common, "h", "left")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_common")))
-    per_doc = with_shingle_hashes(docs, text_col, n=n).select(
-        "doc_id", F.size(F.array_distinct("sh")).alias("n_shingles"))
-    return (per_doc.join(hits, "doc_id", "left")
+            .agg(F.count("*").alias("n_shingles"),
+                 F.count("_c").alias("n_common"))
             .select("doc_id",
                     F.col("n_shingles").cast("long").alias("n_shingles"),
-                    F.coalesce("n_common", F.lit(0)).cast("long")
-                    .alias("n_common"),
-                    F.round(F.coalesce("n_common", F.lit(0))
-                            / F.col("n_shingles"), 6)
+                    F.col("n_common").cast("long").alias("n_common"),
+                    F.round(F.col("n_common") / F.col("n_shingles"), 6)
                     .alias("boilerplate_frac")))
