@@ -370,6 +370,24 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("f0", 6).alias("f0"))
 
 
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling (reproducible dev/holdout splits):
+    pure filter, predicate-pushdown-friendly, zero shuffles."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.sample_corpus(_docs(spark, sf_dir), fraction=0.1,
+                           salt="s0").select("doc_id", "lang")
+
+
+def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: 128-token chunks into 512-token bins, packed
+    contiguously per shard (one per-shard window shuffle)."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.pack_chunks(_docs(spark, sf_dir), chunk_tokens=128,
+                         budget=512, n_shards=64)
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata decode with a FULL value oracle: real BMP/WAV
     bytes are synthesized from doc_id arithmetic, decode_media parses
@@ -652,6 +670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
         "media_decode": _q_media_decode,
+        "sample_corpus": _q_sample,
+        "pack_chunks": _q_pack_chunks,
         "extract_markdown_roundtrip": _q_extract_markdown,
         "corpus_filter": _q_corpus_filter,
         "repetition_features": _q_repetition,
@@ -1037,6 +1057,26 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(tk[i * 128 + 1 : i * 128 + 128], ' ') "
             "AS chunk_text, "
             "CAST(least(128, n - i * 128) AS BIGINT) AS n_tokens FROM ex"
+        ),
+        "sample_corpus": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "CAST(CAST(concat('0x', substr(md5(concat('s0', "
+            "CAST(doc_id AS VARCHAR))), 1, 15)) AS UBIGINT) AS BIGINT) "
+            "% 1000000 < 100000"
+        ),
+        "pack_chunks": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "c AS (SELECT doc_id, tk, len(tk) AS n, "
+            "CAST(floor((len(tk) + 127) / 128) AS INT) AS nc FROM t), "
+            "ex AS (SELECT doc_id, n, tk, "
+            "unnest(range(0, nc)) AS i FROM c), "
+            "chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(least(128, n - i * 128) AS BIGINT) AS n_tokens FROM ex) "
+            "SELECT CAST(doc_id % 64 AS INT) AS shard, doc_id, chunk_idx, "
+            "n_tokens, CAST(floor((sum(n_tokens) OVER ("
+            "PARTITION BY doc_id % 64 ORDER BY doc_id, chunk_idx "
+            "ROWS UNBOUNDED PRECEDING) - 1) / 512) AS BIGINT) AS bin_id "
+            "FROM chunks"
         ),
         "host_stats": (
             "WITH d AS (SELECT doc_id, text, "

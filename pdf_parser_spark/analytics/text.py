@@ -258,3 +258,42 @@ def boilerplate_ngrams(docs: DataFrame, text_col: str = "text",
                     F.col("n_common").cast("long").alias("n_common"),
                     F.round(F.col("n_common") / F.col("n_shingles"), 6)
                     .alias("boilerplate_frac")))
+
+
+def sample_corpus(docs: DataFrame, fraction: float,
+                  salt: str = "s0", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic hash sampling: keep a document iff
+    md5(salt || doc_id) mod 1e6 < fraction * 1e6. Unlike rand()-based
+    sampling this is reproducible across runs/engines, composable
+    (different salts give independent samples), and a pure filter —
+    predicate-pushdown-friendly, zero shuffles. The standard way to
+    carve dev/holdout splits out of a 10^12-doc corpus."""
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("long") % 1_000_000
+    return docs.where(bucket < int(fraction * 1_000_000))
+
+
+def pack_chunks(docs: DataFrame, text_col: str = "text",
+                chunk_tokens: int = 128, budget: int = 512,
+                n_shards: int = 64) -> DataFrame:
+    """Sequence packing for training: assign fixed-size chunks to
+    context-window bins of ``budget`` tokens. Chunks are packed
+    CONTIGUOUSLY per shard (bin = floor(running_tokens / budget) over
+    the deterministic (doc_id, chunk_idx) order) — the streaming
+    packing strategy, trading a little padding efficiency for a plan
+    with exactly ONE shuffle (the per-shard window) whose width is the
+    shard count, not the corpus. Shard = doc_id % n_shards keeps bins
+    shard-local so 10^12 docs pack in parallel."""
+    from pyspark.sql.window import Window
+
+    chunks = chunk_documents(docs, text_col, chunk_tokens)
+    shard = (F.col("doc_id") % n_shards).cast("int")
+    w = (Window.partitionBy("shard")
+         .orderBy("doc_id", "chunk_idx")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (chunks.withColumn("shard", shard)
+            .withColumn("_run", F.sum("n_tokens").over(w))
+            .select("shard", "doc_id", "chunk_idx", "n_tokens",
+                    F.floor((F.col("_run") - 1) / budget).cast("long")
+                    .alias("bin_id")))

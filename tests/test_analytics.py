@@ -488,3 +488,36 @@ def test_boilerplate_ngrams_flags_shared_phrase(spark):
            T.boilerplate_ngrams(docs, n=5, min_docs=3).collect()}
     assert all(got[i].n_common > 0 for i in range(3))
     assert got[9].n_common == 0 and got[9].boilerplate_frac == 0.0
+
+
+def test_sample_corpus_deterministic_and_composable(spark, docs):
+    from pdf_parser_spark.analytics import text as T
+
+    a = {r.doc_id for r in T.sample_corpus(docs, 0.2, "a").collect()}
+    a2 = {r.doc_id for r in T.sample_corpus(docs, 0.2, "a").collect()}
+    b = {r.doc_id for r in T.sample_corpus(docs, 0.2, "b").collect()}
+    assert a == a2                       # reproducible
+    assert a != b                        # independent under a new salt
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n    # near the requested fraction
+    # nested sampling: a tighter fraction of the SAME salt is a subset
+    tight = {r.doc_id for r in T.sample_corpus(docs, 0.05, "a").collect()}
+    assert tight <= a
+
+
+def test_pack_chunks_respects_budget_and_order(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    rows = [(i, " ".join(f"w{j}" for j in range(300))) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.pack_chunks(docs, chunk_tokens=128, budget=512,
+                        n_shards=2).toPandas()
+    # every chunk lands in a bin; bins fill contiguously per shard
+    for shard, grp in out.groupby("shard"):
+        grp = grp.sort_values(["doc_id", "chunk_idx"])
+        run = grp.n_tokens.cumsum()
+        expect = ((run - 1) // 512).astype("int64")
+        assert (grp.bin_id.values == expect.values).all()
+        # a full bin never exceeds the budget
+        per_bin = grp.groupby("bin_id").n_tokens.sum()
+        assert (per_bin.iloc[:-1] <= 512).all()
