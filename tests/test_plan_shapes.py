@@ -34,6 +34,8 @@ def queries(spark):
                 "token_parity_by_lang", "contamination_check",
                 "repetition_features", "chunk_documents", "host_stats",
                 "quality_features", "dedup_lsh_pairs", "tpch_q5",
+                "sample_corpus", "pack_chunks", "pii_features",
+                "boilerplate_ngrams",
             }}
 
 
@@ -65,6 +67,18 @@ def test_ann_queries_shuffle_only_the_final_topk(queries):
     assert _broadcasts(queries["ann_brute_topk"]) == 0
     for name in ("ann_brute_topk", "ann_ivf_topk"):
         assert _shuffles(queries[name]) == 1, name
+
+
+def test_round3_ops_plan_shapes(queries):
+    """sample_corpus and pii_features are pure scans/projections;
+    pack_chunks shuffles once (the per-shard window); boilerplate's
+    two aggregations + join-back stay within 3 narrow exchanges."""
+    assert _shuffles(queries["sample_corpus"]) == 0
+    assert _shuffles(queries["pii_features"]) == 0
+    assert _shuffles(queries["pack_chunks"]) == 1
+    assert _shuffles(queries["boilerplate_ngrams"]) <= 3
+    # sampling pushes its filter to the scan side (no Python boundary)
+    assert "ArrowEvalPython" not in _plan(queries["sample_corpus"])
 
 
 def test_lsh_topk_is_bucketed_hash_equi_join(queries):
