@@ -111,3 +111,27 @@ def test_extractor_survives_truncated_pdfs(cut):
     data = render_pdf_doc("truncate me please for robustness", 2)
     res = extract_document("u", data[: cut % len(data)])
     assert (res.text is not None) or res.error_kind
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000_000),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=1, max_value=48),
+       st.sampled_from(["rc4-128", "aes-128", "aes-256"]))
+def test_extractor_survives_mutated_encrypted_pdfs(seed, byte_val,
+                                                   n_mut, method):
+    """Mutation fuzzing over the DECRYPTION paths: corrupting /Encrypt
+    dicts, O/U/OE/UE records or ciphertext must degrade to an error row
+    or partial output — never an executor crash."""
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    base = bytearray(build_pdf(
+        [Page(texts=[Text(72, 700, "secret words to corrupt")])],
+        encrypt={"method": method, "user_pw": ""}))
+    state = seed or 1
+    for _ in range(n_mut):
+        state = (1103515245 * state + 12345) % (2**31)
+        base[state % len(base)] = byte_val
+    res = extract_document("u", bytes(base))
+    assert res.doc_type in ("pdf", "html", "unknown")
+    assert (res.text is not None) or res.error_kind
