@@ -247,12 +247,29 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     (Kiveris et al.) to cut rounds to O(log n) — the driver loop and
     convergence check stay identical."""
     cand = lsh_candidate_pairs(docs, text_col)
-    pairs = (cand.where(F.col("jaccard") >= min_jaccard)
-             .select("doc_a", "doc_b"))
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"),
-                     F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")).persist()
+    # both edge directions from ONE evaluation of the rerank pipeline
+    # (a union of two branches over the same parent runs it twice)
+    both = F.explode(F.array(
+        F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")),
+        F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))))
+    edges = (cand.where(F.col("jaccard") >= min_jaccard)
+             .select(both.alias("e")).select("e.s", "e.t").persist())
+    # materialize the edge cache NOW: the first iteration references
+    # edges through TWO branches (labels' lineage and prop's join), and
+    # branches racing inside one job each compute the unpopulated
+    # persist — i.e. the whole LSH pipeline would run twice
+    n_edges = edges.count()
+    # size the iteration frames to the GRAPH, not the corpus: the edge
+    # count is already known (materialized above), so partition count
+    # adapts to it — a few hundred near-dup edges iterate as single-task
+    # stages instead of 32-task waves of scheduler overhead, while a
+    # billion-edge graph still spreads across the cluster
+    sc = edges.sparkSession.sparkContext
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+    sized = edges.repartition(nparts, "s").persist()
+    sized.count()
+    edges.unpersist()
+    edges = sized
 
     # iterate ONLY over vertices that appear in the graph: near-dup
     # edges cover a small fraction of a deduplicated corpus, so each
@@ -261,22 +278,26 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     labels = (edges.select(F.col("s").alias("doc_id")).distinct()
               .withColumn("cluster_id", F.col("doc_id"))
               .persist())
+    cached = labels  # the handle actually persisted (unpersist target)
     for _ in range(max_iters):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "s"), "s")
                 .groupBy(F.col("t").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("nbr_min")))
+        # convergence flag computed INLINE: one aggregation materializes
+        # the new labels AND counts changes (no old-vs-new re-join)
         new_labels = (labels.join(prop, "doc_id", "left")
                       .select("doc_id",
                               F.least(F.col("cluster_id"),
                                       F.coalesce("nbr_min", "cluster_id"))
-                              .alias("cluster_id"))
+                              .alias("cluster_id"),
+                              (F.coalesce("nbr_min", F.col("cluster_id"))
+                               < F.col("cluster_id")).cast("int")
+                              .alias("_chg"))
                       .persist())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels.unpersist()
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        cached.unpersist()
+        cached = new_labels
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     edges.unpersist()
@@ -289,7 +310,7 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     # labels is already materialized by the convergence-check counts;
     # expose the handle so long-lived sessions can release it (same
     # contract as lsh_candidate_pairs)
-    result.lsh_persisted_base = labels
+    result.lsh_persisted_base = cached
     return result
 
 
