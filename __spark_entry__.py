@@ -254,10 +254,17 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent1 CTE recomputes."""
     from pdf_parser_spark.analytics import similarity
 
+    import os
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    key = (sf_dir, 16, 1)
+    # cache key includes the file mtime: regenerating the corpus under
+    # the same path in a long-lived driver must retrain, not serve
+    # stale centroids
+    mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    key = (sf_dir, mtime, 16, 1)
     cents = _IVF_CENTROIDS.get(key)
     if cents is None:
+        _IVF_CENTROIDS.clear()  # old corpus versions are dead keys
         cents = _IVF_CENTROIDS[key] = similarity.kmeans_centroids(
             emb, 16, iters=1)
     return similarity.ivf_topk(emb, similarity.make_queries(emb),

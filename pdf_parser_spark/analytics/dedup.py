@@ -196,14 +196,18 @@ def contamination(docs: DataFrame, text_col: str = "text",
                 .select(F.explode(F.array_distinct("shn")).alias("h"))
                 .distinct())
     # fail fast instead of OOMing the driver when the "benchmark" side
-    # is mis-shaped (it must stay broadcast-sized by construction)
-    bench_rows = bench_df.limit(MAX_BENCH_SHINGLES + 1).collect()
-    if len(bench_rows) > MAX_BENCH_SHINGLES:
+    # is mis-shaped (it must stay broadcast-sized by construction);
+    # the guard is a distributed count — it must not itself collect
+    # 10M rows just to reject them
+    n_bench = bench_df.count()
+    if n_bench > MAX_BENCH_SHINGLES:
         raise ValueError(
-            f"contamination: benchmark shingle set exceeds "
-            f"{MAX_BENCH_SHINGLES} distinct hashes — this side must be "
-            f"benchmark-sized; shard the benchmark or use a bloom filter")
-    bench = np.array(sorted(r.h for r in bench_rows), dtype=np.int64)
+            f"contamination: benchmark shingle set has {n_bench} "
+            f"distinct hashes (> {MAX_BENCH_SHINGLES}) — this side must "
+            f"be benchmark-sized; shard the benchmark or use a bloom "
+            f"filter")
+    bench = np.array(sorted(r.h for r in bench_df.collect()),
+                     dtype=np.int64)
 
     @F.pandas_udf("long")
     def hits(col: pd.Series) -> pd.Series:
@@ -279,6 +283,7 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
               .withColumn("cluster_id", F.col("doc_id"))
               .persist())
     cached = labels  # the handle actually persisted (unpersist target)
+    converged = False
     for _ in range(max_iters):
         prop = (edges.join(labels.withColumnRenamed("doc_id", "s"), "s")
                 .groupBy(F.col("t").alias("doc_id"))
@@ -299,9 +304,18 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
         cached = new_labels
         labels = new_labels.drop("_chg")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iters={max_iters} (a near-dup chain longer than the "
+            f"iteration budget exists); raise max_iters — a partially "
+            f"propagated result would silently split clusters")
     edges.unpersist()
-    cand.lsh_persisted_base.unpersist()
+    base = getattr(cand, "lsh_persisted_base", None)
+    if base is not None:  # convention-based handle; see lsh docstring
+        base.unpersist()
     result = (docs.select("doc_id")
               .join(labels, "doc_id", "left")
               .select("doc_id",

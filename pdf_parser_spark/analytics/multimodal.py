@@ -62,15 +62,22 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
     the format has no such axis)."""
     p = payload or b""
     if p[:2] == b"BM" and len(p) >= 26:
-        w = int.from_bytes(p[18:22], "little", signed=True)
-        h = int.from_bytes(p[22:26], "little", signed=True)
-        # negative height = top-down row order; magnitude is the size
-        return {"format": "bmp", "width": w, "height": abs(h),
+        hdr = int.from_bytes(p[14:18], "little")
+        if hdr == 12:  # OS/2 BITMAPCOREHEADER: uint16 dimensions
+            w = int.from_bytes(p[18:20], "little")
+            h = int.from_bytes(p[20:22], "little")
+        elif hdr in (40, 52, 56, 108, 124):  # BITMAPINFOHEADER family
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            # negative height = top-down row order; magnitude is size
+            h = abs(int.from_bytes(p[22:26], "little", signed=True))
+        else:
+            raise NotImplementedError(f"unknown BMP header size {hdr}")
+        return {"format": "bmp", "width": _dim(w), "height": _dim(h),
                 "duration_ms": None}
     if p[:8] == b"\x89PNG\r\n\x1a\n" and len(p) >= 24:
         return {"format": "png",
-                "width": int.from_bytes(p[16:20], "big"),
-                "height": int.from_bytes(p[20:24], "big"),
+                "width": _dim(int.from_bytes(p[16:20], "big")),
+                "height": _dim(int.from_bytes(p[20:24], "big")),
                 "duration_ms": None}
     if p[:6] in (b"GIF87a", b"GIF89a") and len(p) >= 10:
         return {"format": "gif",
@@ -79,7 +86,7 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
                 "duration_ms": None}
     if len(p) >= 2 and p[0:1] == b"P" and p[1:2] in b"123456":
         w, h = _pnm_dims(p)
-        return {"format": "pnm", "width": w, "height": h,
+        return {"format": "pnm", "width": _dim(w), "height": _dim(h),
                 "duration_ms": None}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return {"format": "wav", "width": None, "height": None,
@@ -89,6 +96,19 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
         f"(magic={p[:4]!r}); compressed codecs need PIL/soundfile/pyav, "
         f"which are not available in this environment — use "
         f"byte_histogram_features (deterministic fake) instead")
+
+
+_MAX_DIM = 1 << 30       # sane pixel-dimension bound (fits int32)
+_MAX_DURATION_MS = (1 << 31) - 1
+
+
+def _dim(v: int) -> int:
+    """Validate a decoded pixel dimension: corrupt headers must degrade
+    (NotImplementedError -> format='opaque'), never emit values that
+    wrap Arrow's int32 into silent garbage."""
+    if not 0 < v <= _MAX_DIM:
+        raise NotImplementedError(f"implausible decoded dimension {v}")
+    return v
 
 
 def _pnm_dims(p: bytes) -> tuple[int, int]:
@@ -127,14 +147,17 @@ def _wav_duration_ms(p: bytes) -> int:
     while i + 8 <= n:
         cid = p[i:i + 4]
         size = int.from_bytes(p[i + 4:i + 8], "little")
-        if cid == b"fmt " and i + 16 <= n:
+        if cid == b"fmt " and i + 20 <= n:
             byte_rate = int.from_bytes(p[i + 16:i + 20], "little")
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
     if not byte_rate or data_size is None:
         raise NotImplementedError("malformed WAV: missing fmt/data chunk")
-    return round(data_size * 1000 / byte_rate)
+    ms = round(data_size * 1000 / byte_rate)
+    if not 0 <= ms <= _MAX_DURATION_MS:
+        raise NotImplementedError(f"implausible decoded duration {ms}ms")
+    return ms
 
 
 def _byte_histogram(payload: bytes) -> np.ndarray:

@@ -142,30 +142,15 @@ def test_media_features_shape(spark):
 
 
 def _make_bmp(w: int, h: int) -> bytes:
-    """Minimal BITMAPINFOHEADER 24-bit BMP with real pixel rows."""
-    row = (w * 3 + 3) & ~3  # rows pad to 4 bytes
-    pix = bytes(row) * h
-    header = (b"BM" + (54 + len(pix)).to_bytes(4, "little") + bytes(4)
-              + (54).to_bytes(4, "little")
-              + (40).to_bytes(4, "little")
-              + w.to_bytes(4, "little", signed=True)
-              + h.to_bytes(4, "little", signed=True)
-              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
-              + bytes(24))
-    return header + pix
+    from pdf_parser_spark.analytics.multimodal import make_bmp
+
+    return make_bmp(w, h)
 
 
-def _make_wav(seconds: float, rate: int = 8000) -> bytes:
-    """PCM16 mono WAV with a real data chunk."""
-    n = int(seconds * rate)
-    data = bytes(2 * n)
-    byte_rate = rate * 2
-    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
-           + rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
-           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
-    body = (b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
-            + b"data" + len(data).to_bytes(4, "little") + data)
-    return b"RIFF" + (4 + len(body) - 4 + 4).to_bytes(4, "little") + body
+def _make_wav(seconds: float) -> bytes:
+    from pdf_parser_spark.analytics.multimodal import make_wav
+
+    return make_wav(int(seconds * 1000))
 
 
 def test_decode_real_header_formats():
@@ -521,3 +506,52 @@ def test_pack_chunks_respects_budget_and_order(spark):
         # a full bin never exceeds the budget
         per_bin = grp.groupby("bin_id").n_tokens.sum()
         assert (per_bin.iloc[:-1] <= 512).all()
+
+
+def test_decode_real_rejects_corrupt_and_exotic_headers():
+    """Corrupt headers degrade instead of wrapping int32 (code-review
+    r3 findings): overflow dims, truncated WAV fmt, unknown BMP header
+    sizes; OS/2 BITMAPCOREHEADER decodes its uint16 dimensions."""
+    import pytest
+
+    from pdf_parser_spark.analytics import multimodal as M
+
+    # int32-overflow BMP height degrades
+    bad = bytearray(M.make_bmp(4, 2))
+    bad[22:26] = (-2147483648).to_bytes(4, "little", signed=True)
+    with pytest.raises(NotImplementedError):
+        M.decode_real(bytes(bad))
+    # zero / overflow PNG dims degrade
+    png = (b"\x89PNG\r\n\x1a\n" + bytes(8)
+           + b"\xff\xff\xff\xff" + (10).to_bytes(4, "big"))
+    with pytest.raises(NotImplementedError):
+        M.decode_real(png)
+    # OS/2 core-header BMP: uint16 dims at 18/20
+    core = (b"BM" + bytes(12) + (12).to_bytes(4, "little")
+            + (100).to_bytes(2, "little") + (50).to_bytes(2, "little")
+            + bytes(8))
+    d = M.decode_real(core)
+    assert (d["width"], d["height"]) == (100, 50)
+    # unknown BMP header size degrades (not parsed as INFOHEADER)
+    weird = bytearray(M.make_bmp(4, 2))
+    weird[14:18] = (99).to_bytes(4, "little")
+    with pytest.raises(NotImplementedError):
+        M.decode_real(bytes(weird))
+    # WAV with fmt chunk truncated inside byte_rate degrades
+    with pytest.raises(NotImplementedError):
+        M.decode_real(bytes(M.make_wav(1000))[:30])
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """Exhausting max_iters without a fixpoint must be loud — a partial
+    propagation silently splits clusters."""
+    import pytest
+
+    from pdf_parser_spark.analytics import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(10, base), (11, base + " phi"), (12, base + " phi chi")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(docs, min_jaccard=0.3, max_iters=1)
