@@ -395,6 +395,38 @@ def _q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                          budget=512, n_shards=64)
 
 
+def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE composition — the end-to-end corpus build a training
+    run applies: exact-dedup canonical survivors -> quality gates ->
+    benchmark decontamination (docs with >20% benchmark 8-gram overlap
+    dropped, benchmark docs themselves excluded) -> 128-token chunking
+    -> 512-token sequence packing. Every stage reuses the individually
+    oracle-checked operator; plan: one canonical window shuffle, the
+    zero-shuffle contamination projection, one doc_id join, the chunk
+    explode, and the per-shard packing window."""
+    from pyspark.sql.window import Window
+
+    from pdf_parser_spark.analytics import dedup
+    from pdf_parser_spark.analytics import text as T
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5(F.encode("text", "UTF-8")))
+    qx = T.quality_exprs(F.col("text"))
+    survivors = (docs.select("doc_id", "text")
+                 .withColumn("_canon", F.min("doc_id").over(w))
+                 .where(F.col("doc_id") == F.col("_canon"))
+                 .select("doc_id", "text",
+                         qx["n_tokens"].alias("_nt"),
+                         qx["quality_score"].alias("_qs"))
+                 .where((F.col("_qs") >= 0.5) & (F.col("_nt") >= 20)))
+    clean_ids = (dedup.contamination(docs)
+                 .where(F.col("contam_frac") <= 0.2)
+                 .select("doc_id"))
+    clean = survivors.join(clean_ids, "doc_id").select("doc_id", "text")
+    return T.pack_chunks(clean, chunk_tokens=128, budget=512,
+                         n_shards=64)
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata decode with a FULL value oracle: real BMP/WAV
     bytes are synthesized from doc_id arithmetic, decode_media parses
@@ -679,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode": _q_media_decode,
         "sample_corpus": _q_sample,
         "pack_chunks": _q_pack_chunks,
+        "training_corpus": _q_training_corpus,
         "extract_markdown_roundtrip": _q_extract_markdown,
         "corpus_filter": _q_corpus_filter,
         "repetition_features": _q_repetition,
@@ -1132,6 +1165,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, total AS n_shingles, "
             "CAST(hits AS BIGINT) AS contam_hits, "
             "round(CAST(hits AS DOUBLE) / total, 6) AS contam_frac FROM j"
+        ),
+        "training_corpus": (
+            _sql_shingle_hash_cte(8)
+            + ", canon AS (SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(text)), "
+            "q AS (SELECT doc_id, n_tokens, round("
+            "least(n_tokens / 100.0, 1.0) * 0.4 "
+            "+ least(stopword_hits / greatest(n_tokens, 1) * 10.0, 1.0) "
+            "* 0.3 + (1.0 - least(punct_chars / greatest(n_chars, 1) "
+            "* 5.0, 1.0)) * 0.3, 6) AS quality_score FROM ("
+            f"SELECT doc_id, len({_TOKS}) AS n_tokens, "
+            f"len(list_filter({_TOKS}, "
+            f"t -> t IN {_LANG_MARKERS_SQL['en']})) AS stopword_hits, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', "
+            "'', 'g')) AS punct_chars, length(text) AS n_chars "
+            "FROM documents)), "
+            "bench AS (SELECT DISTINCT unnest(s) AS h FROM sh "
+            "WHERE doc_id % 100 = 7), "
+            "ex AS (SELECT doc_id, unnest(s) AS h FROM sh "
+            "WHERE doc_id % 100 <> 7), "
+            "cj AS (SELECT e.doc_id, count(*) AS total, "
+            "sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END) AS hits "
+            "FROM ex e LEFT JOIN bench b USING (h) GROUP BY e.doc_id), "
+            "keep AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN canon USING (doc_id) JOIN q USING (doc_id) "
+            "JOIN cj USING (doc_id) "
+            "WHERE q.quality_score >= 0.5 AND q.n_tokens >= 20 "
+            "AND round(CAST(cj.hits AS DOUBLE) / cj.total, 6) <= 0.2), "
+            f"kt AS (SELECT doc_id, {_TOKS} AS tk FROM keep), "
+            "kc AS (SELECT doc_id, tk, len(tk) AS n, "
+            "CAST(floor((len(tk) + 127) / 128) AS INT) AS nc FROM kt), "
+            "kx AS (SELECT doc_id, n, unnest(range(0, nc)) AS i FROM kc), "
+            "chunks AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+            "CAST(least(128, n - i * 128) AS BIGINT) AS n_tokens FROM kx) "
+            "SELECT CAST(doc_id % 64 AS INT) AS shard, doc_id, chunk_idx, "
+            "n_tokens, CAST(floor((sum(n_tokens) OVER ("
+            "PARTITION BY doc_id % 64 ORDER BY doc_id, chunk_idx "
+            "ROWS UNBOUNDED PRECEDING) - 1) / 512) AS BIGINT) AS bin_id "
+            "FROM chunks"
         ),
         "tpch_q1": (
             "SELECT l_returnflag, l_linestatus, "
