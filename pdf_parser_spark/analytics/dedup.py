@@ -209,10 +209,18 @@ def contamination(docs: DataFrame, text_col: str = "text",
     bench = np.array(sorted(r.h for r in bench_df.collect()),
                      dtype=np.int64)
 
-    @F.pandas_udf("long")
-    def hits(col: pd.Series) -> pd.Series:
+    # BOTH counts come out of the UDF: every downstream column then
+    # derives from the Python boundary, so a consumer's filter (e.g.
+    # contam_frac <= 0.2 in training_corpus) CANNOT be substituted
+    # below the projection — Catalyst would otherwise re-inline the
+    # whole interpreted 8-step shingle fold into the Filter and
+    # evaluate it per row a second time (measured: 0.11 s -> 8.5 s at
+    # sf0.1 for one filtered consumer)
+    @F.pandas_udf("struct<contam_hits: long, n_shingles: long>")
+    def hits_n(col: pd.Series) -> pd.DataFrame:
         if not len(col):
-            return pd.Series([], dtype="int64")
+            return pd.DataFrame({"contam_hits": [], "n_shingles": []},
+                                dtype="int64")
         lens = col.map(len).to_numpy(dtype=np.int64)
         # with_shingle_hashes guarantees >= 1 shingle per row, so the
         # reduceat segments are never empty
@@ -221,15 +229,25 @@ def contamination(docs: DataFrame, text_col: str = "text",
         mask = np.isin(flat, bench).astype(np.int64)
         starts = np.zeros(len(col), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts[1:])
-        return pd.Series(np.add.reduceat(mask, starts))
+        return pd.DataFrame({
+            "contam_hits": np.add.reduceat(mask, starts),
+            "n_shingles": lens,
+        })
+
+    # the UDF is semantically deterministic, but the marker stops
+    # Catalyst's filter pushdown from CLONING it below a consumer's
+    # filter (observed plan: two ArrowEvalPython nodes each feeding the
+    # full interpreted shingle fold — the whole pipeline ran twice)
+    hits_n = hits_n.asNondeterministic()
 
     return (sh.where(~is_bench)
+            .select("doc_id", hits_n(F.col("shn")).alias("_hn"))
             .select("doc_id",
-                    F.size("shn").cast("long").alias("n_shingles"),
-                    hits(F.col("shn")).alias("contam_hits"))
-            .select("doc_id", "n_shingles", "contam_hits",
-                    F.round(F.col("contam_hits")
-                            / F.col("n_shingles"), 6).alias("contam_frac")))
+                    F.col("_hn.n_shingles").alias("n_shingles"),
+                    F.col("_hn.contam_hits").alias("contam_hits"),
+                    F.round(F.col("_hn.contam_hits")
+                            / F.col("_hn.n_shingles"), 6)
+                    .alias("contam_frac")))
 
 
 def dedup_clusters(docs: DataFrame, text_col: str = "text",
