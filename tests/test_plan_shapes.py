@@ -156,3 +156,16 @@ def test_extraction_plan_moves_no_bytes(spark):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "html" not in ln, ln
+
+
+def test_filtered_contamination_evaluates_udf_once(spark):
+    """A consumer filter on contam_frac must not clone the Arrow UDF
+    below the filter (Catalyst pushdown duplicated the whole shingle
+    pipeline before the asNondeterministic marker)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.analytics import dedup
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    df = dedup.contamination(docs).where(F.col("contam_frac") <= 0.2)
+    assert _plan(df).count("ArrowEvalPython") == 1
