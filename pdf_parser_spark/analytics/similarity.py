@@ -83,6 +83,11 @@ def with_cosine(df: DataFrame, a: str, b: str,
         nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
         return pd.Series(dots / (na * nb))
 
+    # deterministic in fact; the marker stops Catalyst from CLONING the
+    # UDF below a consumer's filter (e.g. the near-dup threshold), which
+    # would run the GEMM and its input projection twice — same hazard as
+    # dedup.contamination's hits_n
+    cos = cos.asNondeterministic()
     return df.withColumn(out, cos(F.col(a), F.col(b)))
 
 
