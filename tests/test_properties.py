@@ -135,3 +135,23 @@ def test_extractor_survives_mutated_encrypted_pdfs(seed, byte_val,
     res = extract_document("u", bytes(base))
     assert res.doc_type in ("pdf", "html", "unknown")
     assert (res.text is not None) or res.error_kind
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=10_000_000),
+       st.integers(min_value=0, max_value=255),
+       st.integers(min_value=1, max_value=64))
+def test_extractor_survives_mutated_html(seed, byte_val, n_mut):
+    """Mutation fuzzing over the HTML path: corrupted tags, broken
+    attributes, truncated entities — extract_document must degrade,
+    never raise (the regex tokenizer and the density filters are both
+    under test)."""
+    base = bytearray(render_html("words to corrupt in the html body "
+                                 "with several sentences", 3, "en"))
+    state = seed or 1
+    for _ in range(n_mut):
+        state = (1103515245 * state + 12345) % (2**31)
+        base[state % len(base)] = byte_val
+    res = extract_document("u", bytes(base))
+    assert res.doc_type in ("pdf", "html", "unknown")
+    assert (res.text is not None) or res.error_kind
