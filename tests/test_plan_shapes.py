@@ -169,3 +169,17 @@ def test_filtered_contamination_evaluates_udf_once(spark):
     docs = spark.read.parquet(f"{SF0001}/documents.parquet")
     df = dedup.contamination(docs).where(F.col("contam_frac") <= 0.2)
     assert _plan(df).count("ArrowEvalPython") == 1
+
+
+def test_training_corpus_plan(spark):
+    """Capstone composition: exactly 2 corpus shuffles (canonical md5
+    window + the per-shard packing window), contamination ids broadcast
+    into the join, and ONE ArrowEvalPython (the no-clone marker holds
+    through the composition)."""
+    import __spark_entry__ as em
+
+    df = em.queries()["training_corpus"](spark, SF0001)
+    plan = _plan(df)
+    assert _shuffles(df) == 2
+    assert _broadcasts(df) == 1
+    assert plan.count("ArrowEvalPython") == 1
