@@ -282,12 +282,11 @@ def _sql_cos2(a: str, b: str) -> str:
     )
 
 
-def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4,
-                 k: int = 10, dim: int = 64) -> str:
-    """Mirrors similarity.ivf_topk with kmeans_iters=1: seed centroids
-    (vec_id < n) -> one Lloyd step (assign by max cosine, elementwise
-    avg per cluster, 6-dp rounded; empty clusters keep the rounded
-    seed) -> assignment/probes against the REFINED centroids."""
+def _sql_ivf_asg_cte(n_centroids: int = 16, dim: int = 64) -> str:
+    """Shared CTE prefix 'WITH cent0 ... asg' — the kmeans_iters=1
+    refined quantizer and the per-vector assignment, mirrored from
+    similarity.kmeans_centroids + _with_centroid (used by ann_ivf_topk
+    and semantic_dedup)."""
     return (
         f"WITH cent0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb "
         f"FROM embeddings WHERE vec_id < {n_centroids}), "
@@ -311,8 +310,19 @@ def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4,
         "SELECT e.vec_id, e.embedding, c.cent_id, row_number() OVER ("
         "PARTITION BY e.vec_id ORDER BY "
         + _sql_cos2("e.embedding", "c.cent_emb")
-        + " DESC, c.cent_id) AS r FROM embeddings e, cent1 c) WHERE r = 1), "
-        "probes AS (SELECT q_id, q_emb, cent_id AS centroid FROM ("
+        + " DESC, c.cent_id) AS r FROM embeddings e, cent1 c) WHERE r = 1)"
+    )
+
+
+def _sql_ann_ivf(n_centroids: int = 16, nprobe: int = 4,
+                 k: int = 10, dim: int = 64) -> str:
+    """Mirrors similarity.ivf_topk with kmeans_iters=1: seed centroids
+    (vec_id < n) -> one Lloyd step (assign by max cosine, elementwise
+    avg per cluster, 6-dp rounded; empty clusters keep the rounded
+    seed) -> assignment/probes against the REFINED centroids."""
+    return (
+        _sql_ivf_asg_cte(n_centroids, dim)
+        + ", probes AS (SELECT q_id, q_emb, cent_id AS centroid FROM ("
         "SELECT q.vec_id AS q_id, q.embedding AS q_emb, c.cent_id, "
         "row_number() OVER (PARTITION BY q.vec_id ORDER BY "
         + _sql_cos2("q.embedding", "c.cent_emb")
@@ -425,6 +435,25 @@ def _q_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = survivors.join(clean_ids, "doc_id").select("doc_id", "text")
     return T.pack_chunks(clean, chunk_tokens=128, budget=512,
                          n_shards=64)
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style near-dup pairs: cluster assignment (offline
+    quantizer, shared with ann_ivf_topk via the same cache) then exact
+    pairwise cosine inside each cluster only."""
+    from pdf_parser_spark.analytics import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import os
+    mtime = os.path.getmtime(f"{sf_dir}/embeddings.parquet")
+    key = (sf_dir, mtime, 16, 1)
+    cents = _IVF_CENTROIDS.get(key)
+    if cents is None:
+        _IVF_CENTROIDS.clear()
+        cents = _IVF_CENTROIDS[key] = similarity.kmeans_centroids(
+            emb, 16, iters=1)
+    return similarity.semantic_near_duplicates(
+        emb, threshold=0.45, centroids=cents)
 
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -703,6 +732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "dedup_embedding_cosine": _q_embedding_neardup,
+        "semantic_dedup": _q_semantic_dedup,
         "lang_features": _q_lang_features,
         "quality_features": _q_quality,
         "bpe_token_counts": _q_bpe_tokens,
@@ -918,6 +948,15 @@ def oracle_sql() -> dict[str, str]:
             "ON e.s = r.v) "
             "SELECT v AS doc_id, min(l) AS cluster_id FROM reach "
             "GROUP BY v"
+        ),
+        "semantic_dedup": (
+            _sql_ivf_asg_cte(16, 64)
+            + " SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(" + _sql_cos2("a.embedding", "b.embedding")
+            + ", 6) AS cosine FROM asg a JOIN asg b "
+            "ON a.centroid = b.centroid AND a.vec_id < b.vec_id "
+            "WHERE round(" + _sql_cos2("a.embedding", "b.embedding")
+            + ", 6) >= 0.45"
         ),
         "pii_features": (
             f"SELECT doc_id, {pii_counts}, "

@@ -515,6 +515,51 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame,
     return _rank_topk(scored, k)
 
 
+def semantic_near_duplicates(embeddings: DataFrame,
+                             n_centroids: int = 16,
+                             threshold: float = 0.45,
+                             centroids: list[tuple[int, list[float]]]
+                             | None = None,
+                             kmeans_iters: int = 1) -> DataFrame:
+    """SemDeDup-style semantic near-duplicates: assign every vector to
+    its coarse-quantizer cluster (expression argmax over centroid
+    literals — pure projection), then compute exact pairwise cosine
+    ONLY within each cluster (one GEMM tile per cluster via
+    applyInPandas). Emits (vec_a < vec_b, cosine >= threshold, 6-dp).
+
+    vs the exact all-pairs `embedding_near_duplicates`: work drops from
+    N^2 to sum of cluster sizes squared (~N^2/n_centroids for balanced
+    clusters) at the cost of missing cross-cluster pairs — the SemDeDup
+    trade (near-duplicates co-locate in embedding space, so recall
+    stays high; test_semantic_dedup_recall measures it). At 10^12
+    vectors: raise n_centroids so tiles stay executor-sized (tile
+    memory = cluster size x dim) and train the quantizer OFFLINE
+    (pass ``centroids`` — same contract as ivf_topk); a pathological
+    mega-cluster is the skew signal to re-train with more centroids."""
+    cents = centroids if centroids is not None else kmeans_centroids(
+        embeddings, n_centroids, iters=kmeans_iters)
+    asg = _with_centroid(embeddings, "embedding", cents)
+
+    def tile(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mat /= np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        cos = np.round(mat @ mat.T, 6)
+        ai, bi = np.nonzero(cos >= threshold)
+        keep = ids[ai] < ids[bi]
+        return pd.DataFrame({"vec_a": ids[ai][keep],
+                             "vec_b": ids[bi][keep],
+                             "cosine": cos[ai, bi][keep]})
+
+    return asg.select("centroid", "vec_id", "embedding") \
+              .groupBy("centroid").applyInPandas(
+                  tile, "vec_a long, vec_b long, cosine double")
+
+
 def make_queries(embeddings: DataFrame, n: int = 5) -> DataFrame:
     return (embeddings.where(F.col("vec_id") < n)
             .select(F.col("vec_id").alias("q_id"),

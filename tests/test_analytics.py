@@ -555,3 +555,36 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_clusters(docs, min_jaccard=0.3, max_iters=1)
+
+
+def test_semantic_dedup_recall_on_clustered_data(spark):
+    """SemDeDup trade measured: on clustered embeddings (real corpora),
+    cluster-local pairwise finds nearly all exact near-dup pairs at a
+    fraction of the N^2 work."""
+    import numpy as np
+
+    from pdf_parser_spark.analytics import similarity
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 64) * 3
+    rows = []
+    vid = 0
+    for i in range(150):
+        c = centers[i % 8]
+        v = c + 0.3 * rng.randn(64)
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        if i % 10 == 0:  # planted near-duplicate
+            rows.append((vid, [float(x) for x in v + 0.01 * rng.randn(64)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r.vec_a, r.vec_b)
+             for r in similarity.embedding_near_duplicates(
+                 df, threshold=0.99).collect()}
+    sem = {(r.vec_a, r.vec_b)
+           for r in similarity.semantic_near_duplicates(
+               df, n_centroids=8, threshold=0.99).collect()}
+    assert exact, "fixture must plant pairs"
+    # cluster-local exact cosine can only MISS pairs, never invent them
+    assert sem <= exact
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.9, (recall, len(exact))
