@@ -456,6 +456,14 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.45, centroids=cents)
 
 
+def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-style quality score (CCNet/KenLM analog):
+    reference slice doc_id%10==1, add-1/2 smoothing, integer-log NLL."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.lm_quality(_docs(spark, sf_dir))
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata decode with a FULL value oracle: real BMP/WAV
     bytes are synthesized from doc_id arithmetic, decode_media parses
@@ -756,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
+        "lm_quality": _q_lm_quality,
         "sessionize_events": _q_sessionize,
         "hourly_events": _q_hourly_events,
     }
@@ -1136,6 +1145,24 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(tk[i * 128 + 1 : i * 128 + 128], ' ') "
             "AS chunk_text, "
             "CAST(least(128, n - i * 128) AS BIGINT) AS n_tokens FROM ex"
+        ),
+        "lm_quality": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE len(" + _TOKS + ") >= 2), "
+            "bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 "
+            "FROM t, unnest(range(1, len(tk))) r(i)), "
+            "ref AS (SELECT * FROM bg WHERE doc_id % 10 = 1), "
+            "uni AS (SELECT w1, count(*) AS u FROM ref GROUP BY w1), "
+            "big AS (SELECT w1, w2, count(*) AS bcnt FROM ref "
+            "GROUP BY w1, w2), "
+            "vocab AS (SELECT count(*) AS v FROM uni), "
+            "scored AS (SELECT g.doc_id, "
+            "ln(2 * coalesce(u.u, 0) + vocab.v) "
+            "- ln(2 * coalesce(b.bcnt, 0) + 1) AS nll "
+            "FROM bg g LEFT JOIN big b USING (w1, w2) "
+            "LEFT JOIN uni u USING (w1) CROSS JOIN vocab) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "round(avg(nll), 4) AS avg_nll FROM scored GROUP BY doc_id"
         ),
         "sample_corpus": (
             "SELECT doc_id, lang FROM documents WHERE "

@@ -297,3 +297,49 @@ def pack_chunks(docs: DataFrame, text_col: str = "text",
             .select("shard", "doc_id", "chunk_idx", "n_tokens",
                     F.floor((F.col("_run") - 1) / budget).cast("long")
                     .alias("bin_id")))
+
+
+def lm_quality(docs: DataFrame, text_col: str = "text",
+               ref_mod: int = 10, ref_val: int = 1) -> DataFrame:
+    """CCNet-style language-model quality score: a bigram LM with add-½
+    smoothing is trained on a reference slice of the corpus (doc_id %
+    ref_mod == ref_val plays the 'clean wikipedia' role) and every
+    document is scored by its mean negative log-likelihood under it
+    (lower = more reference-like; CCNet buckets corpora by exactly this
+    signal, via KenLM).
+
+    p(w2|w1) = (B(w1,w2) + 1/2) / (U(w1) + V/2), so each bigram's NLL
+    is ln(2*U(w1) + V) - ln(2*B(w1,w2) + 1) — logs of exact INTEGERS,
+    which keeps Spark and DuckDB bit-comparable (4-dp rounded mean).
+
+    Plan: reference uni/bigram count tables via map-side-combined
+    groupBys over narrow token rows; scoring is doc-bigram explode ->
+    two left joins -> one per-doc aggregation. The LM tables shard with
+    the joins (never driver-side); V is a 1-row broadcast. Docs with
+    < 2 tokens have no bigrams and are absent from the output."""
+    toks = tokens(F.col(text_col))
+    m = F.size("_tk") - 1
+    bg = (docs.withColumn("_tk", toks)
+          .where(F.size("_tk") >= 2)
+          .select("doc_id",
+                  F.explode(F.zip_with(
+                      F.slice("_tk", 1, F.greatest(m, F.lit(1))),
+                      F.slice("_tk", 2, F.greatest(m, F.lit(1))),
+                      lambda a, b: F.struct(a.alias("w1"),
+                                            b.alias("w2")))).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    ref = bg.where(F.col("doc_id") % ref_mod == ref_val)
+    uni = (ref.groupBy("w1").agg(F.count("*").alias("u")))
+    big = (ref.groupBy("w1", "w2").agg(F.count("*").alias("bcnt")))
+    vocab = uni.agg(F.count("*").alias("v"))  # 1 row -> broadcast
+
+    scored = (bg.join(big, ["w1", "w2"], "left")
+              .join(uni, ["w1"], "left")
+              .crossJoin(F.broadcast(vocab))
+              .select("doc_id",
+                      (F.log(2 * F.coalesce("u", F.lit(0)) + F.col("v"))
+                       - F.log(2 * F.coalesce("bcnt", F.lit(0)) + 1))
+                      .alias("nll")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(F.avg("nll"), 4).alias("avg_nll")))

@@ -588,3 +588,19 @@ def test_semantic_dedup_recall_on_clustered_data(spark):
     assert sem <= exact
     recall = len(sem & exact) / len(exact)
     assert recall >= 0.9, (recall, len(exact))
+
+
+def test_lm_quality_separates_reference_like_from_gibberish(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    ref_phrase = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    for i in range(30):  # doc_id%10==1 -> reference slice
+        rows.append((10 * i + 1, ref_phrase + f" run {i % 3}"))
+    rows.append((1000, ref_phrase))                     # in-distribution
+    rows.append((2000, "zxq vbnm qwerty asdf ghjkl uiop zxcv bnml"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_nll for r in T.lm_quality(docs).collect()}
+    assert got[1000] < got[2000]
+    # every bigram of doc 1000 was seen in the reference -> low NLL
+    assert got[1000] < 3.0
