@@ -155,3 +155,21 @@ def test_extractor_survives_mutated_html(seed, byte_val, n_mut):
     res = extract_document("u", bytes(base))
     assert res.doc_type in ("pdf", "html", "unknown")
     assert (res.text is not None) or res.error_kind
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_decode_real_total_on_garbage(data):
+    """decode_real either returns validated metadata or raises
+    NotImplementedError — never any other exception, never values
+    outside int32 (the decode_media degrade contract relies on this)."""
+    from pdf_parser_spark.analytics.multimodal import decode_real
+
+    try:
+        d = decode_real(data)
+    except NotImplementedError:
+        return
+    assert d["format"] in ("bmp", "png", "gif", "pnm", "wav")
+    for k in ("width", "height", "duration_ms"):
+        v = d[k]
+        assert v is None or 0 <= v < 2**31
