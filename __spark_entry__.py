@@ -701,8 +701,8 @@ def _q_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assignment: connected components over the LSH
-    jaccard>=0.5 graph via iterative hash-to-min label propagation
-    (rounds = component diameter; narrow-row shuffles only)."""
+    jaccard>=0.5 graph via alternating large-star/small-star (Kiveris
+    et al. — O(log n) rounds; narrow graph-sized shuffles only)."""
     from pdf_parser_spark.analytics import dedup
 
     return dedup.dedup_clusters(_docs(spark, sf_dir), min_jaccard=0.5)

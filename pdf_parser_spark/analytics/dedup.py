@@ -206,8 +206,9 @@ def contamination(docs: DataFrame, text_col: str = "text",
             f"distinct hashes (> {MAX_BENCH_SHINGLES}) — this side must "
             f"be benchmark-sized; shard the benchmark or use a bloom "
             f"filter")
-    bench = np.array(sorted(r.h for r in bench_df.collect()),
-                     dtype=np.int64)
+    # Arrow collect: ~8 bytes/hash driver-side (a .collect() of pyspark
+    # Row objects costs ~100x that and would defeat the cap's purpose)
+    bench = np.sort(bench_df.toPandas()["h"].to_numpy(dtype=np.int64))
 
     # BOTH counts come out of the UDF: every downstream column then
     # derives from the Python boundary, so a consumer's filter (e.g.
@@ -250,99 +251,170 @@ def contamination(docs: DataFrame, text_col: str = "text",
                     .alias("contam_frac")))
 
 
+def connected_components(edges: DataFrame,
+                         max_iters: int = 25) -> tuple[DataFrame, int]:
+    """Connected components by ALTERNATING large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014): converges in O(log n) rounds on ANY topology — a
+    10^6-node path graph finishes in ~10 rounds where hash-to-min label
+    propagation needs 10^6 (one per hop of component diameter).
+
+    ``edges``: columns (s, t), undirected, any orientation, self-loops
+    allowed (dropped). Returns ``(labels, rounds)`` where labels has
+    columns (doc_id, cluster_id = component-minimum node id) covering
+    every node that appears in an edge, and labels is persisted AND
+    materialized — the caller owns the unpersist.
+
+    Per round: large-star hangs every neighbor u > v off v's component
+    minimum-so-far; small-star re-hangs the smaller neighbors. Both are
+    one groupBy + one join over NARROW (long, long) rows — graph-sized,
+    never corpus-sized. Convergence = edge multiset fixpoint, detected
+    by (count, order-independent crc32 checksum) in one aggregation.
+
+    Each round's frame is CHECKPOINTED, not just persisted: an iterative
+    dataframe's logical plan otherwise nests the whole history (persist
+    caches data but not the plan), and plan processing goes exponential
+    after ~10 rounds (measured: driver OOM just *stringifying* the round
+    12 plan of a 1000-node path graph). Reliable ``df.checkpoint()``
+    when the context has a checkpoint dir (set one in production — it
+    also survives executor loss), ``localCheckpoint`` otherwise.
+    Checkpointed RDD storage is freed by the ContextCleaner when the
+    frame is dropped; the persisted LABELS frame is the caller's to
+    unpersist."""
+    sc = edges.sparkSession.sparkContext
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    def star_sig(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.crc32(F.concat_ws(",", "u", "v"))).alias("sig"),
+        ).collect()[0]
+        return int(row.n or 0), int(row.sig or 0)
+
+    # canonical orientation (big, small); ONE evaluation of the upstream
+    # pipeline (e.g. the whole LSH rerank), truncated at the checkpoint
+    e = ckpt(edges.where(F.col("s") != F.col("t"))
+             .select(F.greatest("s", "t").alias("u"),
+                     F.least("s", "t").alias("v"))
+             .distinct())
+    n_edges, sig = star_sig(e)
+    if n_edges == 0:
+        empty = edges.sparkSession.createDataFrame(
+            [], "doc_id long, cluster_id long").persist()
+        return empty, 0
+    # size iteration frames to the GRAPH, not the corpus (a few hundred
+    # near-dup edges iterate as single-task stages, a billion-edge graph
+    # still spreads across the cluster)
+    nparts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
+    e = ckpt(e.repartition(nparts, "u"))
+
+    rounds = 0
+    while rounds < max_iters:
+        rounds += 1
+        # LARGE-STAR on the symmetrized graph: for each center x with
+        # neighbors N(x), m = min(N(x) + {x}); emit (y, m) for every
+        # y in N(x) with y > x. One explode (no double-evaluated
+        # union), one shuffle on the center.
+        sym = (e.select(F.explode(F.array(
+                   F.struct(F.col("u").alias("x"),
+                            F.col("v").alias("y")),
+                   F.struct(F.col("v").alias("x"),
+                            F.col("u").alias("y")))).alias("d"))
+               .select("d.x", "d.y"))
+        mins = (sym.groupBy("x").agg(F.min("y").alias("mn"))
+                .select("x", F.least("mn", "x").alias("m")))
+        large = (sym.join(mins, "x")
+                 .where(F.col("y") > F.col("x"))
+                 .select(F.col("y").alias("u"), F.col("m").alias("v"))
+                 .where(F.col("u") != F.col("v")).distinct()
+                 .repartition(nparts, "u"))
+        # SMALL-STAR: edges are now oriented (u > v); for each u,
+        # m = min of its smaller neighbors; re-hang those neighbors
+        # and u itself onto m.
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = ckpt(large.join(mins2, "u")
+                     .select(F.explode(F.array(
+                         F.struct(F.col("v").alias("a"),
+                                  F.col("m").alias("b")),
+                         F.struct(F.col("u").alias("a"),
+                                  F.col("m").alias("b")))).alias("d"))
+                     .where(F.col("d.a") != F.col("d.b"))
+                     .select(F.col("d.a").alias("u"),
+                             F.col("d.b").alias("v"))
+                     .distinct()
+                     .repartition(nparts, "u"))
+        new_n, new_sig = star_sig(new_e)
+        e = new_e
+        if (new_n, new_sig) == (n_edges, sig):
+            # fixpoint: every component is a star rooted at its min
+            break
+        n_edges, sig = new_n, new_sig
+    else:
+        raise RuntimeError(
+            f"connected_components: did not converge within "
+            f"max_iters={max_iters} rounds — at O(log n) rounds this "
+            f"means a graph of > 2^{max_iters} nodes or a logic "
+            f"error; a partial result would silently split clusters")
+
+    # stars: u -> component min; roots appear only as v
+    labels = (e.select(F.col("u").alias("doc_id"),
+                       F.col("v").alias("cluster_id"))
+              .groupBy("doc_id").agg(F.min("cluster_id")
+                                     .alias("cluster_id"))
+              .unionByName(
+                  e.select(F.col("v").alias("doc_id"),
+                           F.col("v").alias("cluster_id")).distinct())
+              .groupBy("doc_id").agg(F.min("cluster_id")
+                                     .alias("cluster_id"))
+              .persist())
+    labels.count()
+    return labels, rounds
+
+
 def dedup_clusters(docs: DataFrame, text_col: str = "text",
                    min_jaccard: float = 0.5,
-                   max_iters: int = 20) -> DataFrame:
+                   max_iters: int = 25,
+                   return_handle: bool = False):
     """Near-duplicate CLUSTER assignment: connected components over the
     LSH candidate graph (edges = pairs with jaccard >= min_jaccard),
     cluster_id = min doc_id in the component. Every document gets a row
     (singletons map to themselves) — the form a dedup pass consumes to
     pick one canonical doc per cluster.
 
-    Distributed algorithm: iterative hash-to-min label propagation —
-    label(v) := min(label(v), min over neighbors' labels) until a
-    fixpoint. Each round is two narrow-row shuffles (edge join + min
-    aggregation); rounds needed = component diameter, which for
-    near-duplicate clusters is tiny (duplicates of one source document
-    form near-cliques). ``max_iters`` bounds pathological chains; at
-    10^12-doc scale swap the inner step for large-star/small-star
-    (Kiveris et al.) to cut rounds to O(log n) — the driver loop and
-    convergence check stay identical."""
-    cand = lsh_candidate_pairs(docs, text_col)
-    # both edge directions from ONE evaluation of the rerank pipeline
-    # (a union of two branches over the same parent runs it twice)
-    both = F.explode(F.array(
-        F.struct(F.col("doc_a").alias("s"), F.col("doc_b").alias("t")),
-        F.struct(F.col("doc_b").alias("s"), F.col("doc_a").alias("t"))))
-    edges = (cand.where(F.col("jaccard") >= min_jaccard)
-             .select(both.alias("e")).select("e.s", "e.t").persist())
-    # materialize the edge cache NOW: the first iteration references
-    # edges through TWO branches (labels' lineage and prop's join), and
-    # branches racing inside one job each compute the unpopulated
-    # persist — i.e. the whole LSH pipeline would run twice
-    n_edges = edges.count()
-    # size the iteration frames to the GRAPH, not the corpus: the edge
-    # count is already known (materialized above), so partition count
-    # adapts to it — a few hundred near-dup edges iterate as single-task
-    # stages instead of 32-task waves of scheduler overhead, while a
-    # billion-edge graph still spreads across the cluster
-    sc = edges.sparkSession.sparkContext
-    nparts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
-    sized = edges.repartition(nparts, "s").persist()
-    sized.count()
-    edges.unpersist()
-    edges = sized
+    Components via alternating large-star/small-star (see
+    ``connected_components``): O(log n) rounds even on pathological
+    duplicate CHAINS, where plain label propagation needs
+    diameter-many shuffle rounds. Iteration shuffles are graph-sized
+    (near-dup edges are a small fraction of a crawl), never
+    corpus-sized; singletons join in once at the end.
 
-    # iterate ONLY over vertices that appear in the graph: near-dup
-    # edges cover a small fraction of a deduplicated corpus, so each
-    # round's shuffles are graph-sized, never corpus-sized; singletons
-    # join in once at the end
-    labels = (edges.select(F.col("s").alias("doc_id")).distinct()
-              .withColumn("cluster_id", F.col("doc_id"))
-              .persist())
-    cached = labels  # the handle actually persisted (unpersist target)
-    converged = False
-    for _ in range(max_iters):
-        prop = (edges.join(labels.withColumnRenamed("doc_id", "s"), "s")
-                .groupBy(F.col("t").alias("doc_id"))
-                .agg(F.min("cluster_id").alias("nbr_min")))
-        # convergence flag computed INLINE: one aggregation materializes
-        # the new labels AND counts changes (no old-vs-new re-join)
-        new_labels = (labels.join(prop, "doc_id", "left")
-                      .select("doc_id",
-                              F.least(F.col("cluster_id"),
-                                      F.coalesce("nbr_min", "cluster_id"))
-                              .alias("cluster_id"),
-                              (F.coalesce("nbr_min", F.col("cluster_id"))
-                               < F.col("cluster_id")).cast("int")
-                              .alias("_chg"))
-                      .persist())
-        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        cached.unpersist()
-        cached = new_labels
-        labels = new_labels.drop("_chg")
-        if changed == 0:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"dedup_clusters: label propagation did not converge within "
-            f"max_iters={max_iters} (a near-dup chain longer than the "
-            f"iteration budget exists); raise max_iters — a partially "
-            f"propagated result would silently split clusters")
-    edges.unpersist()
+    The result depends on one persisted graph-sized frame (the final
+    labels). With ``return_handle=True`` returns ``(df, handle)`` so the
+    caller can ``handle.unpersist()`` after consuming the result; the
+    default keeps the legacy ``result.lsh_persisted_base`` attribute
+    (fragile: any transformation on the result drops it)."""
+    cand = lsh_candidate_pairs(docs, text_col)
     base = getattr(cand, "lsh_persisted_base", None)
-    if base is not None:  # convention-based handle; see lsh docstring
-        base.unpersist()
+    try:
+        edges = (cand.where(F.col("jaccard") >= min_jaccard)
+                 .select(F.col("doc_a").alias("s"),
+                         F.col("doc_b").alias("t")))
+        labels, _rounds = connected_components(edges, max_iters=max_iters)
+    finally:
+        if base is not None:  # convention-based handle; see lsh docstring
+            base.unpersist()
     result = (docs.select("doc_id")
               .join(labels, "doc_id", "left")
               .select("doc_id",
                       F.coalesce("cluster_id", F.col("doc_id"))
                       .alias("cluster_id")))
-    # labels is already materialized by the convergence-check counts;
-    # expose the handle so long-lived sessions can release it (same
-    # contract as lsh_candidate_pairs)
-    result.lsh_persisted_base = cached
+    if return_handle:
+        return result, labels
+    result.lsh_persisted_base = labels
     return result
 
 

@@ -444,6 +444,65 @@ def test_dedup_clusters_connected_components(spark):
     assert got[50] == 50
 
 
+def test_connected_components_chain_olog_rounds(spark):
+    """A planted 1,000-node duplicate CHAIN (path graph — the worst case
+    for hash-to-min label propagation, which needs diameter ~= 999
+    rounds) must converge in O(log n) large-star/small-star rounds and
+    label every node with the component minimum."""
+    from pdf_parser_spark.analytics import dedup
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(999)],
+                                  "s long, t long")
+    labels, rounds = dedup.connected_components(edges)
+    try:
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    finally:
+        labels.unpersist()
+    assert len(got) == 1000 and set(got.values()) == {0}
+    # ~3*log2(1000) bound with slack; hash-to-min would need 999
+    assert rounds <= 14, rounds
+
+
+def test_connected_components_multi_component_and_handle(spark):
+    from pdf_parser_spark.analytics import dedup
+
+    # two components (one via duplicate + reversed edges + self-loop)
+    e = spark.createDataFrame([(5, 3), (3, 9), (20, 21), (21, 20), (7, 7)],
+                              "s long, t long")
+    labels, _ = dedup.connected_components(e)
+    try:
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+    finally:
+        labels.unpersist()
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20}
+
+    # empty graph: no labels, zero rounds
+    empty, rounds = dedup.connected_components(
+        spark.createDataFrame([], "s long, t long"))
+    try:
+        assert empty.count() == 0 and rounds == 0
+    finally:
+        empty.unpersist()
+
+
+def test_dedup_clusters_explicit_handle(spark):
+    """return_handle=True hands back the persisted labels frame so the
+    caller can release it (the attribute convention drops the handle on
+    any transformation)."""
+    from pdf_parser_spark.analytics import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame([(10, base), (11, base + " phi")],
+                                 "doc_id long, text string")
+    result, handle = dedup.dedup_clusters(docs, min_jaccard=0.3,
+                                          return_handle=True)
+    got = {r.doc_id: r.cluster_id for r in result.collect()}
+    assert got == {10: 10, 11: 10}
+    assert handle.storageLevel.useMemory  # persisted, caller-owned
+    handle.unpersist()
+
+
 def test_pii_features_counts_and_redaction(spark):
     from pdf_parser_spark.analytics import text as T
 
