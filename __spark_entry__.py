@@ -1008,7 +1008,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id AS media_id, "
             "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
             "ELSE 'video' END AS kind, "
-            "CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav' "
+            "CASE WHEN doc_id % 3 = 0 THEN "
+            "(CASE WHEN doc_id % 6 = 0 THEN 'bmp' ELSE 'jpeg' END) "
+            "WHEN doc_id % 3 = 1 THEN 'wav' "
             "ELSE 'opaque' END AS format, "
             "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 100 + 1 "
             "AS INTEGER) END AS width, "

@@ -2,10 +2,11 @@
 columns with typed metadata.
 
 ``decode_real`` parses every header-only format the standard library
-can handle (BMP/PNG/GIF/PNM dimensions, WAV duration) directly from the
-bytes; only pixel/sample decode of COMPRESSED codecs (JPEG/MP3/H.264)
-raises NotImplementedError, because those libraries (PIL/ffmpeg/
-torchaudio) are not in this container. Everything Spark-side is real
+can handle (BMP/PNG/GIF/PNM/JPEG dimensions — JPEG via the SOFn marker
+walk, no entropy decode — and WAV duration) directly from the bytes;
+only pixel/sample decode of COMPRESSED codecs (JPEG pixels, MP3,
+H.264) raises NotImplementedError, because those libraries (PIL/
+ffmpeg/torchaudio) are not in this container. Everything Spark-side is real
 and tested: the schema, the partition-preserving mapInPandas plumbing,
 the Arrow batch shape, and a deterministic fake feature extractor
 (byte histogram) that stands in for a real CNN/codec so downstream
@@ -49,11 +50,12 @@ N_FEATURES = 16
 
 def decode_real(payload: bytes, kind: str | None = None) -> dict:
     """Header-only decode for container formats whose metadata is plain
-    bytes — no codec library needed: BMP / PNG / GIF / PNM dimensions,
-    WAV duration. Detection is by magic bytes, not by ``kind`` (a crawl's
-    declared type lies often enough that trusting it is a bug).
+    bytes — no codec library needed: BMP / PNG / GIF / PNM / JPEG
+    dimensions (SOFn marker walk), WAV duration. Detection is by magic
+    bytes, not by ``kind`` (a crawl's declared type lies often enough
+    that trusting it is a bug).
 
-    Compressed codecs (JPEG entropy data, MP3, H.264, ...) still raise
+    Compressed codecs (MP3, H.264, ...) still raise
     NotImplementedError: pixel/sample decode genuinely requires
     libraries absent from this container — wire PIL / soundfile / pyav
     here on a cluster that has them.
@@ -87,6 +89,10 @@ def decode_real(payload: bytes, kind: str | None = None) -> dict:
     if len(p) >= 2 and p[0:1] == b"P" and p[1:2] in b"123456":
         w, h = _pnm_dims(p)
         return {"format": "pnm", "width": _dim(w), "height": _dim(h),
+                "duration_ms": None}
+    if p[:3] == b"\xff\xd8\xff":
+        w, h = _jpeg_dims(p)
+        return {"format": "jpeg", "width": _dim(w), "height": _dim(h),
                 "duration_ms": None}
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return {"format": "wav", "width": None, "height": None,
@@ -135,6 +141,53 @@ def _pnm_dims(p: bytes) -> tuple[int, int]:
     if len(vals) < 2:
         raise NotImplementedError("truncated PNM header")
     return vals[0], vals[1]
+
+
+# SOFn markers carrying frame dimensions: C0-CF minus DHT(C4),
+# JPG-extension(C8) and DAC(CC). Covers baseline (SOF0), progressive
+# (SOF2), and the arithmetic/lossless variants.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_JPEG_STANDALONE = frozenset({0x01, *range(0xD0, 0xD8)})  # TEM, RST0-7
+
+
+def _jpeg_dims(p: bytes) -> tuple[int, int]:
+    """JPEG frame dimensions from the SOFn marker segment — header-only,
+    no entropy decode: walk marker segments from SOI until a SOFn, whose
+    payload is [len:2][precision:1][height:2][width:2][ncomp:1]
+    (ITU-T T.81 §B.2.2). A file whose scan starts before any SOFn, or
+    whose height is 0 (deferred to a DNL marker we'd need the scan to
+    reach), degrades via NotImplementedError -> format='opaque'."""
+    i = 2
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            raise NotImplementedError("JPEG marker stream desynced")
+        while i < n and p[i] == 0xFF:  # fill bytes before the code
+            i += 1
+        if i >= n:
+            break
+        code = p[i]
+        i += 1
+        if code in _JPEG_STANDALONE:
+            continue  # no length field
+        if code == 0xD9:  # EOI before any SOF
+            break
+        if i + 2 > n:
+            break
+        seg_len = int.from_bytes(p[i:i + 2], "big")
+        if seg_len < 2:
+            raise NotImplementedError("invalid JPEG segment length")
+        if code in _JPEG_SOF:
+            if i + 7 > n:
+                break
+            h = int.from_bytes(p[i + 3:i + 5], "big")
+            w = int.from_bytes(p[i + 5:i + 7], "big")
+            return w, h
+        if code == 0xDA:  # SOS: entropy data follows, SOF should precede
+            break
+        i += seg_len
+    raise NotImplementedError("truncated JPEG: no SOFn marker before "
+                              "SOS/EOI/end of bytes")
 
 
 def _wav_duration_ms(p: bytes) -> int:
@@ -212,7 +265,8 @@ DECODED_SCHEMA = StructType([
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Header-only metadata decode over the payload bytes (decode_real):
-    width/height/duration_ms come FROM THE BYTES for BMP/PNG/GIF/PNM/WAV;
+    width/height/duration_ms come FROM THE BYTES for
+    BMP/PNG/GIF/PNM/JPEG/WAV;
     payloads needing a real codec come back format='opaque' with null
     axes (never an executor crash — E3 degradation semantics). Same
     partition-preserving mapInPandas shape as extract_features."""
@@ -252,6 +306,23 @@ def make_bmp(w: int, h: int) -> bytes:
             + bytes(24)) + pix
 
 
+def make_jpeg(w: int, h: int, progressive: bool = False) -> bytes:
+    """Minimal structurally-valid JPEG header stream: SOI, JFIF APP0,
+    a quantization table, SOF0 (baseline) or SOF2 (progressive) carrying
+    the dimensions, then SOS + EOI. Enough real marker structure that a
+    header-only dimension parse must actually walk segments (the SOF is
+    NOT at a fixed offset)."""
+    app0 = (b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00"
+            + b"\x01\x01\x00" + b"\x00\x48\x00\x48" + b"\x00\x00")
+    dqt = b"\xff\xdb" + (67).to_bytes(2, "big") + b"\x00" + bytes(64)
+    sof_code = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (sof_code + (11).to_bytes(2, "big") + b"\x08"
+           + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+           + b"\x01" + b"\x01\x11\x00")
+    sos = b"\xff\xda" + (8).to_bytes(2, "big") + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + dqt + sof + sos + b"\xff\xd9"
+
+
 def make_wav(duration_ms: int, rate: int = 8000) -> bytes:
     """PCM16 mono WAV with a real data chunk sized to duration_ms."""
     n = duration_ms * rate // 1000
@@ -267,11 +338,13 @@ def make_wav(duration_ms: int, rate: int = 8000) -> bytes:
 
 def synth_media_table(docs: DataFrame) -> DataFrame:
     """Deterministic REAL-FORMAT media sidecar synthesized from doc_id
-    (the value-oracle twin of decode_media): doc_id%3==0 -> BMP whose
-    dimensions are doc_id arithmetic, ==1 -> WAV whose duration is
-    doc_id arithmetic, ==2 -> an opaque mp4-magic blob. Because every
-    decoded value is a pure function of doc_id, the DuckDB oracle is a
-    CASE projection while the Spark side round-trips actual bytes."""
+    (the value-oracle twin of decode_media): doc_id%3==0 -> an image
+    whose dimensions are doc_id arithmetic (BMP when doc_id%6==0, else
+    JPEG — baseline SOF0 / progressive SOF2 alternating on doc_id%12),
+    ==1 -> WAV whose duration is doc_id arithmetic, ==2 -> an opaque
+    mp4-magic blob. Because every decoded value is a pure function of
+    doc_id, the DuckDB oracle is a CASE projection while the Spark side
+    round-trips actual bytes."""
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {"media_id": [], "kind": [], "payload": []}
@@ -281,8 +354,12 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
                 m = did % 3
                 if m == 0:
                     out["kind"].append("image")
-                    out["payload"].append(
-                        make_bmp(did % 100 + 1, did % 50 + 1))
+                    w, h = did % 100 + 1, did % 50 + 1
+                    if did % 6 == 0:
+                        out["payload"].append(make_bmp(w, h))
+                    else:
+                        out["payload"].append(
+                            make_jpeg(w, h, progressive=did % 12 == 9))
                 elif m == 1:
                     out["kind"].append("audio")
                     out["payload"].append(make_wav((did % 30 + 1) * 100))

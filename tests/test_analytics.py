@@ -181,10 +181,37 @@ def test_decode_real_header_formats():
     d = M.decode_real(gif)
     assert (d["format"], d["width"], d["height"]) == ("gif", 12, 34)
 
-    with pytest.raises(NotImplementedError):       # JPEG needs a codec
+    with pytest.raises(NotImplementedError):       # corrupt JPEG segment
         M.decode_real(b"\xff\xd8\xff\xe0" + bytes(64))
     with pytest.raises(NotImplementedError):       # truncated PNM
         M.decode_real(b"P6\n# nothing else")
+
+
+def test_decode_real_jpeg_sof_walk():
+    """JPEG dimensions come from the SOFn marker walk (r3 verdict item
+    3): baseline SOF0, progressive SOF2, EXIF APP1 before the SOF, and
+    degradation for truncation / DNL-deferred height / desynced
+    streams."""
+    from pdf_parser_spark.analytics import multimodal as M
+
+    d = M.decode_real(M.make_jpeg(101, 49))
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 101, 49)
+    d = M.decode_real(M.make_jpeg(7, 3, progressive=True))
+    assert (d["format"], d["width"], d["height"]) == ("jpeg", 7, 3)
+    # EXIF-style APP1 inserted before everything: SOF is not at a
+    # fixed offset, the walk must skip segments by their length fields
+    j = M.make_jpeg(640, 480)
+    app1 = b"\xff\xe1" + (10).to_bytes(2, "big") + b"Exif\x00\x00\x00\x00"
+    assert M.decode_real(j[:2] + app1 + j[2:])["width"] == 640
+    # truncated before the SOF degrades
+    with pytest.raises(NotImplementedError):
+        M.decode_real(M.make_jpeg(7, 3)[:20])
+    # height 0 = deferred to DNL (needs the scan): degrade
+    with pytest.raises(NotImplementedError):
+        M.decode_real(M.make_jpeg(10, 0))
+    # non-FF byte where a marker must start: desynced stream degrades
+    with pytest.raises(NotImplementedError):
+        M.decode_real(b"\xff\xd8\xff" + b"\x00" * 8)
 
 
 def test_decode_media_spark(spark):

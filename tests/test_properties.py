@@ -169,7 +169,23 @@ def test_decode_real_total_on_garbage(data):
         d = decode_real(data)
     except NotImplementedError:
         return
-    assert d["format"] in ("bmp", "png", "gif", "pnm", "wav")
+    assert d["format"] in ("bmp", "png", "gif", "pnm", "jpeg", "wav")
     for k in ("width", "height", "duration_ms"):
         v = d[k]
         assert v is None or 0 <= v < 2**31
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_decode_real_total_on_jpeg_prefixed_garbage(data):
+    """The JPEG SOFn marker walk must terminate and degrade cleanly on
+    arbitrary bytes behind a valid JPEG magic (no IndexError, no
+    infinite loop, no out-of-range dims)."""
+    from pdf_parser_spark.analytics.multimodal import decode_real
+
+    try:
+        d = decode_real(b"\xff\xd8\xff" + data)
+    except NotImplementedError:
+        return
+    assert d["format"] == "jpeg"
+    assert 0 < d["width"] < 2**31 and 0 < d["height"] < 2**31
