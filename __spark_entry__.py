@@ -362,6 +362,9 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counts (committed merges table, greedy merge
+    loop in an Arrow-batched UDF) + whitespace/regex proxies; the
+    DuckDB oracle REPLAYS the same merges with a recursive CTE."""
     from pdf_parser_spark.analytics import text as T
 
     return T.bpe_token_counts(_docs(spark, sf_dir))
@@ -775,6 +778,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _TOKS = "string_split_regex(trim(text), '\\s+')"
 
 
+def _bpe_oracle_sql() -> str:
+    """Recursive-CTE replay of the committed BPE merges table (the
+    oracle runs the same public algorithm in a second engine — no
+    precomputed answer key)."""
+    from pdf_parser_spark.analytics import bpe
+
+    return bpe.oracle_merge_sql("documents", "text")
+
+
 def _sql_md5int(expr: str) -> str:
     """Portable md5 -> int64 (matches analytics.dedup._md5_int)."""
     return (f"CAST(CAST(concat('0x', substr(md5({expr}), 1, 15)) "
@@ -1072,11 +1084,7 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', "
             "'g')) AS punct_chars, length(text) AS n_chars FROM documents)"
         ),
-        "bpe_token_counts": (
-            f"SELECT doc_id, len({_TOKS}) AS ws_tokens, "
-            "len(regexp_extract_all(text, "
-            "'[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens FROM documents"
-        ),
+        "bpe_token_counts": _bpe_oracle_sql(),
         "fingerprints": (
             _sql_shingle_hash_cte(8)
             + " SELECT doc_id, CAST(list_min(s) AS BIGINT) AS fp_min, "

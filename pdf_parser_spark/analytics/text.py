@@ -94,13 +94,14 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace + BPE-ish regex token counts."""
-    return docs.select(
-        "doc_id",
-        F.size(tokens(F.col(text_col))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(
-            F.col(text_col), F.lit(BPE_RE), 0)).alias("bpe_tokens"),
-    )
+    """Token counts for corpus sizing — real BPE (see analytics/bpe.py:
+    committed merges table + greedy merge loop, DuckDB-replayable)
+    plus whitespace and pre-tokenizer-regex counts. Kept here as a
+    re-export so text-analytics callers find it next to the other
+    per-doc signals."""
+    from . import bpe
+
+    return bpe.bpe_token_counts(docs, text_col)
 
 
 def repetition_features(docs: DataFrame,

@@ -230,6 +230,51 @@ def test_decode_media_spark(spark):
     assert got[3].format == "opaque" and got[3].width is None
 
 
+def test_bpe_merge_loop_algorithm(monkeypatch):
+    """The greedy merge loop on a handcrafted ranks table: rank order
+    wins over position, leftmost occurrence merges first, unknown pairs
+    never merge (char-level = no OOV)."""
+    from pdf_parser_spark.analytics import bpe
+
+    monkeypatch.setattr(bpe, "_ranks",
+                        lambda: {("a", "b"): 0, ("ab", "c"): 1,
+                                 ("b", "c"): 2})
+    bpe.encode_word.cache_clear()
+    try:
+        assert bpe.encode_word("abc") == ("abc",)       # ab first, then abc
+        assert bpe.encode_word("aab") == ("a", "ab")    # (a,b) outranks none
+        assert bpe.encode_word("xyz") == ("x", "y", "z")  # nothing learned
+        assert bpe.encode_word("") == ()
+        assert bpe.count_tokens("abc xyz  abc") == 1 + 3 + 1
+        assert bpe.count_tokens("   ") == 0
+    finally:
+        bpe.encode_word.cache_clear()
+
+    monkeypatch.setattr(bpe, "_ranks", lambda: {("a", "a"): 0})
+    bpe.encode_word.cache_clear()
+    try:
+        # leftmost-first on overlapping occurrences: aaa -> (aa, a)
+        assert bpe.encode_word("aaa") == ("aa", "a")
+    finally:
+        bpe.encode_word.cache_clear()
+
+
+def test_bpe_committed_merges_pinned():
+    """Drift guard for the committed merges table: known words encode to
+    known subword sequences (regenerate with tools/train_bpe.py and
+    re-pin deliberately if the table is retrained)."""
+    from pdf_parser_spark.analytics import bpe
+
+    assert len(bpe.load_merges()) == 40
+    assert bpe.encode_word("join") == ("join",)
+    assert bpe.encode_word("customer") == ("c", "u", "st", "o", "mer")
+    assert bpe.encode_word("hash") == ("h", "a", "s", "h")
+    # out-of-distribution word: merges that apply still apply
+    assert bpe.encode_word("vectorized") == (
+        "v", "e", "c", "t", "or", "i", "z", "e", "d")
+    assert bpe.count_tokens("hash join beats sort merge join") == 12
+
+
 def test_lang_features_guess_english(spark):
     from pdf_parser_spark.analytics import text as T
 

@@ -18,7 +18,9 @@ def build(out: str | None = None) -> str:
             if "__pycache__" in root:
                 continue
             for f in sorted(files):
-                if f.endswith(".py"):
+                # .txt: packaged data (e.g. the BPE merges table) read
+                # via importlib.resources — must ride the zip too
+                if f.endswith((".py", ".txt")):
                     full = os.path.join(root, f)
                     z.write(full, os.path.relpath(full, REPO))
     return out
