@@ -856,8 +856,28 @@ _LANG_MARKERS_SQL = {
     "es": "('el','la','de','que','los')",
     "de": "('der','die','und','das','ist')",
     "fr": "('le','la','et','les','des')",
-    "zh": "('de5','shi4','le5','zai4','he2')",
 }
+
+# script-range languages: codepoint counts via RE2 \x{...} classes
+# (mirrors text.LANG_SCRIPTS; BMP-only so Spark UTF-16 length and
+# DuckDB codepoint length agree)
+_LANG_SCRIPTS_SQL = {
+    "zh": "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
+    "ja": "[\\x{3040}-\\x{30FF}]",
+    "ko": "[\\x{AC00}-\\x{D7AF}]",
+}
+
+
+def _lang_hits_sql() -> dict[str, str]:
+    """lang -> DuckDB hit-count expression (marker words or script
+    codepoints), mirroring text.lang_hit_exprs."""
+    out = {lang: f"len(list_filter({_TOKS}, t -> t IN {w}))"
+           for lang, w in _LANG_MARKERS_SQL.items()}
+    out.update({
+        lang: ("(length(text) - length(regexp_replace(text, "
+               f"'{pat}', '', 'g')))")
+        for lang, pat in _LANG_SCRIPTS_SQL.items()})
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -877,13 +897,12 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
         "AS extracted FROM documents"
     )
+    lang_hits = _lang_hits_sql()
     hits_cols = ", ".join(
-        f"len(list_filter({_TOKS}, t -> t IN {w})) AS hits_{lang}"
-        for lang, w in _LANG_MARKERS_SQL.items()
-    )
+        f"{expr} AS hits_{lang}" for lang, expr in lang_hits.items())
     guess_case = "CASE " + " ".join(
         f"WHEN hits_{lang} = g THEN '{lang}'"
-        for lang in sorted(_LANG_MARKERS_SQL)
+        for lang in sorted(lang_hits)
     ) + " END"
     bands = []
     for b in range(4):
@@ -1065,9 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_features": (
             f"SELECT doc_id, {hits_cols}, {guess_case} AS lang_guess "
             f"FROM (SELECT doc_id, text, greatest("
-            + ", ".join(
-                f"len(list_filter({_TOKS}, t -> t IN {w}))"
-                for w in _LANG_MARKERS_SQL.values())
+            + ", ".join(lang_hits.values())
             + ") AS g FROM documents)"
         ),
         "quality_features": (
@@ -1106,13 +1123,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)), "
             f"lf AS (SELECT doc_id, {guess_case} AS lang_guess FROM ("
             "SELECT doc_id, "
-            + ", ".join(
-                f"len(list_filter({_TOKS}, t -> t IN {w})) AS hits_{lang}"
-                for lang, w in _LANG_MARKERS_SQL.items())
+            + ", ".join(f"{expr} AS hits_{lang}"
+                        for lang, expr in lang_hits.items())
             + ", greatest("
-            + ", ".join(
-                f"len(list_filter({_TOKS}, t -> t IN {w}))"
-                for w in _LANG_MARKERS_SQL.values())
+            + ", ".join(lang_hits.values())
             + ") AS g FROM documents)) "
             "SELECT d.doc_id, d.lang, lf.lang_guess, q.n_tokens, "
             "q.quality_score FROM documents d "

@@ -16,7 +16,20 @@ LANG_MARKERS: dict[str, list[str]] = {
     "es": ["el", "la", "de", "que", "los"],
     "de": ["der", "die", "und", "das", "ist"],
     "fr": ["le", "la", "et", "les", "des"],
-    "zh": ["de5", "shi4", "le5", "zai4", "he2"],  # romanized placeholders
+}
+
+# Script-based languages: CJK scripts don't whitespace-tokenize, so
+# marker WORDS can never fire — count CODEPOINTS in the script range
+# instead (one Han char ~ one token, so the counts are commensurate
+# with the word-marker hits in the shared argmax). All ranges are BMP:
+# Spark's UTF-16 length and DuckDB's codepoint length agree, and
+# non-range chars cancel out of the length difference. Known limit:
+# kanji-heavy Japanese with little kana can argmax to zh — proper
+# disambiguation needs a real n-gram model, not a range count.
+LANG_SCRIPTS: dict[str, str] = {
+    "zh": "\u3400-\u4dbf\u4e00-\u9fff",  # Han: ExtA + URO
+    "ja": "\u3040-\u30ff",                 # hiragana + katakana
+    "ko": "\uac00-\ud7af",                 # hangul syllables
 }
 
 # BPE-ish word/punct token regex (word runs OR single non-space symbol).
@@ -29,12 +42,23 @@ def _hits(text_col, words: list[str]):
                            lambda t: F.array_contains(marker, t)))
 
 
+def _script_hits(text_col, ranges: str):
+    """Codepoint count in a script range = length lost when the range
+    is stripped (chars outside the range cancel out)."""
+    return (F.length(text_col)
+            - F.length(F.regexp_replace(text_col, f"[{ranges}]", "")))
+
+
 def lang_hit_exprs(text_col) -> dict[str, "F.Column"]:
-    """Per-language marker-word hit-count expressions (pure
+    """Per-language hit-count expressions — marker-word counts for
+    whitespace languages, script-codepoint counts for CJK (pure
     projections — composable into a single select with other
     features)."""
-    return {f"hits_{lang}": _hits(text_col, words)
-            for lang, words in LANG_MARKERS.items()}
+    out = {f"hits_{lang}": _hits(text_col, words)
+           for lang, words in LANG_MARKERS.items()}
+    out.update({f"hits_{lang}": _script_hits(text_col, ranges)
+                for lang, ranges in LANG_SCRIPTS.items()})
+    return out
 
 
 def lang_guess_expr(hit_cols: dict[str, "F.Column"]):
@@ -42,7 +66,7 @@ def lang_guess_expr(hit_cols: dict[str, "F.Column"]):
     tie-break: alphabetical language order)."""
     best = F.greatest(*hit_cols.values())
     guess = None
-    for lang in sorted(LANG_MARKERS):
+    for lang in sorted([*LANG_MARKERS, *LANG_SCRIPTS]):
         cond = hit_cols[f"hits_{lang}"] == best
         guess = F.when(cond, F.lit(lang)) if guess is None \
             else guess.when(cond, F.lit(lang))

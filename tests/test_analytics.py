@@ -288,6 +288,28 @@ def test_lang_features_guess_english(spark):
     assert r[2] == "es"
 
 
+def test_lang_features_cjk_script_ranges(spark):
+    """Real CJK text gets script-codepoint counts (r3 verdict item 5 —
+    the old romanized zh placeholders could never fire): genuine
+    Chinese/Japanese/Korean argmax to zh/ja/ko; hits equal the script
+    codepoint counts exactly."""
+    from pdf_parser_spark.analytics import text as T
+
+    rows = [(1, "机器学习模型在大规模数据上训练"),
+            (2, "これはテストです ひらがなとカタカナ"),
+            (3, "대규모 데이터 처리 파이프라인 테스트"),
+            (4, "the quick brown fox is one of the best and the rest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in T.lang_features(df).collect()}
+    assert got[1].lang_guess == "zh"
+    assert got[1].hits_zh == len(rows[0][1])          # every char is Han
+    assert got[2].lang_guess == "ja"
+    assert got[2].hits_ja == sum("぀" <= c <= "ヿ"
+                                 for c in rows[1][1])
+    assert got[3].lang_guess == "ko"
+    assert got[4].lang_guess == "en" and got[4].hits_zh == 0
+
+
 def test_ivf_recall_on_clustered_data(spark):
     import numpy as np
 
