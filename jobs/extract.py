@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--fail-after-chunks", type=int, default=None,
                     help="test hook: simulate a kill after N chunks")
+    ap.add_argument("--password", default=None,
+                    help="password for protected PDFs, applied to every "
+                         "document (reference cli.py:77 parity); a pages "
+                         "table with its own password column wins per doc")
     args = ap.parse_args()
 
     from pdf_parser_spark.engine import checkpoint, source
@@ -43,6 +47,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     pages = source.pages_table(spark, args.sf_dir, replicate=args.replicate)
+    if args.password is not None and "password" not in pages.columns:
+        from pyspark.sql import functions as F
+
+        pages = pages.withColumn("password", F.lit(args.password))
     checkpoint.run_checkpointed(
         spark, pages, args.out, args.snapshot,
         n_partitions=args.partitions, chunk_size=args.chunk_size,

@@ -62,8 +62,10 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
     of iterations), not rows — each iteration is one distributed job over
     ~total/chunks of the data. Commit granularity is the recovery unit;
     at 10^12 docs you'd size chunks so one chunk ~= 10-30 min of work."""
-    keyed = partitioning.with_partition_key(
-        pages.select("url", "html"), n_partitions)
+    cols = ["url", "html"] + (["password"] if "password" in pages.columns
+                              else [])
+    keyed = partitioning.with_partition_key(pages.select(*cols),
+                                            n_partitions)
 
     done = set(completed_partitions(spark, root, snapshot_id))
     todo = [p for p in range(n_partitions) if p not in done]

@@ -59,6 +59,13 @@ EXTRACTED_SPANS_SCHEMA = StructType(
     EXTRACTED_SCHEMA.fields + [StructField("spans", ArrayType(SPAN_TYPE))])
 
 
+def _passwords(pdf: pd.DataFrame) -> pd.Series:
+    """Optional per-document password column (empty/NaN -> None)."""
+    if "password" in pdf.columns:
+        return pdf["password"].map(lambda p: p if p else None)
+    return pd.Series([None] * len(pdf))
+
+
 def _extract_batches_with_spans(batches: Iterator[pd.DataFrame]
                                 ) -> Iterator[pd.DataFrame]:
     """Variant kernel emitting the spans array column (nested Arrow)."""
@@ -66,9 +73,10 @@ def _extract_batches_with_spans(batches: Iterator[pd.DataFrame]
         rows = []
         part_ids = (pdf["part_id"] if "part_id" in pdf.columns
                     else pd.Series([-1] * len(pdf)))
-        for url, blob, part_id in zip(pdf["url"], pdf["html"], part_ids):
+        for url, blob, part_id, pw in zip(pdf["url"], pdf["html"],
+                                          part_ids, _passwords(pdf)):
             data = bytes(blob) if blob is not None else None
-            r = extract_document(url, data, with_spans=True)
+            r = extract_document(url, data, with_spans=True, password=pw)
             rows.append({
                 "url": r.url,
                 "part_id": int(part_id),
@@ -99,9 +107,10 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         part_ids = (pdf["part_id"] if "part_id" in pdf.columns
                     else pd.Series([-1] * len(pdf)))
-        for url, blob, part_id in zip(pdf["url"], pdf["html"], part_ids):
+        for url, blob, part_id, pw in zip(pdf["url"], pdf["html"],
+                                          part_ids, _passwords(pdf)):
             data = bytes(blob) if blob is not None else None
-            r = extract_document(url, data)
+            r = extract_document(url, data, password=pw)
             rows.append({
                 "url": r.url,
                 "part_id": int(part_id),
@@ -141,8 +150,10 @@ def run_extract(pages: DataFrame, n_partitions: int | None = None,
     the checkpointed path (engine.checkpoint shuffles per chunk)."""
     if n_partitions is None:
         n_partitions = pages.sparkSession.sparkContext.defaultParallelism * 2
-    keyed = partitioning.with_partition_key(
-        pages.select("url", "html"), n_partitions)
+    cols = ["url", "html"] + (["password"] if "password" in pages.columns
+                              else [])
+    keyed = partitioning.with_partition_key(pages.select(*cols),
+                                            n_partitions)
     if shuffle:
         keyed = partitioning.repartition_for_extract(keyed, n_partitions)
     if with_spans:

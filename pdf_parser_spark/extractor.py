@@ -116,15 +116,20 @@ def _collect_spans(doc: DocIR, text: str) -> list[dict]:
 
 def extract_document(url: str, data: bytes | None,
                      fmt: str = formatter.PLAIN_TEXT,
-                     with_spans: bool = False) -> ExtractResult:
-    """The flagship per-document operator."""
+                     with_spans: bool = False,
+                     password: str | None = None) -> ExtractResult:
+    """The flagship per-document operator. ``password`` opens
+    password-protected PDFs (reference cli.py:77 takes a global
+    --password; here it arrives per document from the pages table's
+    optional password column, since a crawl's known passwords are
+    per-url). Ignored for HTML."""
     if not data:
         return ExtractResult(url=url, doc_type="unknown", text=None,
                              body_text=None, error_kind="EmptyInput",
                              error_message="no bytes")
     if is_pdf(bytes(data)):
         try:
-            doc = parse_pdf_document(url, bytes(data))
+            doc = parse_pdf_document(url, bytes(data), password=password)
         except PdfError as e:
             return ExtractResult(url=url, doc_type="pdf", text=None,
                                  body_text=None, error_kind="PDFLoadError",

@@ -486,6 +486,10 @@ class StandardSecurityHandler:
 
     def _authenticate_v5(self, pw: bytes) -> bool:
         """Algorithm 2.A checks: user then owner (ISO 32000-2)."""
+        # §7.6.4.3.2: the UTF-8 password is truncated to 127 bytes
+        # BEFORE hashing — conformant writers hash the truncated form,
+        # so a longer password must authenticate via its prefix
+        pw = pw[:127]
         u, o = self.u, self.o
         if len(u) < 48:
             return False

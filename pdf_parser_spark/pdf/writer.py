@@ -209,6 +209,9 @@ def build_pdf(pages: list[Page], info: dict[str, str] | None = None,
         id0 = hashlib.md5(b"".join(objs)).digest()  # deterministic /ID
         p = -44
         if v == 5:
+            # §7.6.4.3.2: conformant writers hash at most 127 UTF-8
+            # bytes of the password (reader truncates identically)
+            user_pw, owner_pw = user_pw[:127], owner_pw[:127]
             # ISO 32000-2 §7.6.4.4: deterministic 32-byte file key and
             # salts (fixture reproducibility); U/UE from the user pw,
             # O/OE from the owner pw over U[0:48].

@@ -644,17 +644,83 @@ def test_strf_identity_distinct_from_stmf():
 
 
 def test_hash_2b_reference_vector():
-    """Algorithm 2.B pins its output (guards the iterated SHA-2/AES
-    loop against drift; value cross-checked against the writer/parser
-    round-trip which exercises the full R6 path)."""
+    """Algorithm 2.B pinned against values computed by an INDEPENDENT
+    implementation (ISO 32000-2 §7.6.4.3.4 re-implemented from the spec
+    over the `cryptography` package's AES — see _alg2b_independent
+    below), so a symmetric bug shared by our writer+reader can't hide:
+    the constants came from a second AES/loop implementation."""
     from pdf_parser_spark.pdf import crypto
 
     out = crypto.hash_2b(b"user", b"saltsalt", b"")
-    assert len(out) == 32
-    # self-consistency: memoized second call identical, distinct inputs
-    # diverge
+    assert out.hex() == ("1beccb72cb28d43491db899cba6e2be8"
+                         "38828ec0e51e0ae3f912aff2d75ad148")
+    assert crypto.hash_2b(b"user", b"saltsalt", b"u" * 48).hex() == (
+        "db3bc51f55e60a3aaa7f0146fa9058e1"
+        "aed2d7f936fbfd32ef95dba0a4d0f139")
+    assert crypto.hash_2b(b"", b"\x01" * 8, b"").hex() == (
+        "960aaa52df10df3b9b4571213288bfbc"
+        "cdac0c5d73a480c765d467026b303fb0")
+    # memoized second call identical
     assert crypto.hash_2b(b"user", b"saltsalt", b"") == out
-    assert crypto.hash_2b(b"user", b"saltsalt", b"u" * 48) != out
+
+
+def _alg2b_independent(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B from the spec text, on cryptography's
+    AES — shares no code with pdf_parser_spark.pdf.crypto."""
+    import hashlib
+
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes)
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    count = 0
+    while True:
+        count += 1
+        k1 = (pw + k + udata) * 64
+        enc = Cipher(algorithms.AES(k[:16]), modes.CBC(k[16:32])).encryptor()
+        e = enc.update(k1) + enc.finalize()
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[sum(e[:16]) % 3](e).digest()
+        if count >= 64 and e[-1] <= count - 32:
+            break
+    return k[:32]
+
+
+def test_v5_password_truncated_to_127_bytes():
+    """ISO 32000-2 §7.6.4.3.2: at most 127 UTF-8 password bytes are
+    hashed, so a longer password authenticates via its 127-byte prefix
+    — writer and reader must both truncate (files from conformant
+    writers would otherwise reject >127-byte passwords)."""
+    from pdf_parser_spark.pdf.tokenizer import parse_pdf
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    long_pw = "x" * 200
+    data = build_pdf([Page(texts=[Text(72, 700, "very locked")])],
+                     encrypt={"method": "aes-256", "user_pw": long_pw})
+    # the full long password opens (reader truncates identically)
+    f = parse_pdf(data, password=long_pw)
+    assert any("very locked" in (s.text or "")
+               for p in f.pages for s in p.spans)
+    # ...and so does its 127-byte prefix (proof both sides truncated)
+    f2 = parse_pdf(data, password=long_pw[:127])
+    assert any("very locked" in (s.text or "")
+               for p in f2.pages for s in p.spans)
+
+
+def test_hash_2b_matches_independent_implementation():
+    """Randomized agreement between our pure-Python Algorithm 2.B and
+    the spec re-implementation over library AES (deterministic seeds)."""
+    import hashlib
+
+    from pdf_parser_spark.pdf import crypto
+
+    for seed in range(4):
+        pw = hashlib.sha256(b"pw%d" % seed).digest()[: 5 + seed]
+        salt = hashlib.sha256(b"salt%d" % seed).digest()[:8]
+        ud = b"" if seed % 2 == 0 else hashlib.sha256(
+            b"ud%d" % seed).digest() + b"\x00" * 16
+        assert crypto.hash_2b(pw, salt, ud) == \
+            _alg2b_independent(pw, salt, ud)
 
 
 def test_encrypted_pdf_password_errors():

@@ -95,6 +95,37 @@ def test_checkpoint_resume(spark, tmp_path):
     assert lin.agg(F.sum("doc_count")).collect()[0][0] == 500
 
 
+def test_per_document_password_column(spark):
+    """A pages table with a password column opens password-protected
+    PDFs E2E (reference cli.py:77 --password, made per-document): the
+    right password extracts, a wrong/missing one degrades to an error
+    row, and HTML rows ignore the column entirely."""
+    from pdf_parser_spark.engine import job
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    locked = build_pdf([Page(texts=[Text(72, 700, "classified text")])],
+                       encrypt={"method": "aes-256", "user_pw": "s3cret"})
+    rows = [
+        ("crawl://locked-ok", bytearray(locked), "s3cret"),
+        ("crawl://locked-wrong", bytearray(locked), "nope"),
+        ("crawl://locked-none", bytearray(locked), None),
+        ("crawl://html", bytearray(b"<html><body><p>plain old page "
+                                   b"content here</p></body></html>"),
+         "ignored"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html binary, password string")
+    got = {r.url: r for r in job.run_extract(pages, n_partitions=2)
+           .collect()}
+    assert got["crawl://locked-ok"].ok
+    assert "classified text" in got["crawl://locked-ok"].text
+    assert not got["crawl://locked-wrong"].ok
+    assert got["crawl://locked-wrong"].error_kind == "PDFLoadError"
+    assert not got["crawl://locked-none"].ok
+    assert got["crawl://html"].ok
+    assert "plain old page content" in got["crawl://html"].text
+
+
 def test_explain_no_extra_shuffle(spark):
     """Plan shape: exactly one Exchange before mapInPandas (the explicit
     part_id shuffle) and column pruning down to (url, html)."""
