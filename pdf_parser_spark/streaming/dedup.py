@@ -24,7 +24,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+)
 
 DEDUP_SCHEMA = StructType([
     StructField("text_hash", StringType()),
@@ -62,5 +64,103 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
                 _first_wins,
                 outputStructType=DEDUP_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+# -- streaming NEAR-duplicate detection (MinHash-LSH state) ------------------
+
+NEAR_DUP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("dup_of", LongType()),
+    StructField("est_jaccard", DoubleType()),
+    StructField("band", IntegerType()),
+])
+
+# per-bucket state: parallel arrays — member doc ids + their flattened
+# minhash signatures (N_MINHASH values per doc)
+_NEAR_STATE_SCHEMA = "doc_ids ARRAY<LONG>, sigs ARRAY<LONG>"
+
+# LSH bucket membership is content-hash bounded (the same argument as
+# the batch operator), but a pathological bucket must not grow state
+# unboundedly: older members beyond the cap stop receiving new flags
+_MAX_BUCKET_STATE = 64
+
+
+def _near_dup(key, batches: Iterable[pd.DataFrame], state: GroupState):
+    from ..analytics.dedup import N_MINHASH
+
+    threshold = 0.5
+    band = int(key[0])
+    arrivals: list[tuple[int, list[int]]] = []
+    for pdf in batches:
+        for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+            arrivals.append((int(did), [int(x) for x in sig]))
+    if not arrivals:
+        return
+    arrivals.sort()  # deterministic within-batch order: doc_id asc
+    if state.exists:
+        doc_ids, flat = state.get
+        doc_ids = list(doc_ids)
+        sigs = [list(flat[i * N_MINHASH:(i + 1) * N_MINHASH])
+                for i in range(len(doc_ids))]
+    else:
+        doc_ids, sigs = [], []
+    out = []
+    for did, sig in arrivals:
+        best_j, best_of = 0.0, None
+        for prev_id, prev_sig in zip(doc_ids, sigs):
+            if prev_id == did:
+                continue
+            j = sum(a == b for a, b in zip(sig, prev_sig)) / N_MINHASH
+            # earliest (lowest-id) match wins ties
+            if j > best_j or (j == best_j and best_of is not None
+                              and prev_id < best_of):
+                best_j, best_of = j, prev_id
+        if best_of is not None and best_j >= threshold:
+            out.append({"doc_id": did, "dup_of": best_of,
+                        "est_jaccard": round(best_j, 6), "band": band})
+        if len(doc_ids) < _MAX_BUCKET_STATE:
+            doc_ids.append(did)
+            sigs.append(sig)
+    state.update((doc_ids, [x for s in sigs for x in s]))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def near_dedup_stream(docs: DataFrame) -> DataFrame:
+    """docs(doc_id long, text string) stream -> near-duplicate flags
+    ACROSS micro-batches: MinHash signatures (same permutations as the
+    batch operator, analytics.dedup.with_minhash) band into LSH bucket
+    keys; ``applyInPandasWithState`` keeps each bucket's member
+    signatures in the state store, so a document arriving in a LATER
+    micro-batch is flagged against the earlier member with the highest
+    estimated jaccard (signature agreement fraction >= 0.5).
+
+    A pair colliding in several bands yields one flag per band —
+    ``select('doc_id','dup_of').distinct()`` (or a downstream exact
+    rerank, as in the batch pipeline) collapses them. State is
+    graph-bucket-sized and capped per bucket (_MAX_BUCKET_STATE)."""
+    from ..analytics.dedup import N_BANDS, N_MINHASH, with_minhash
+
+    sig = with_minhash(docs).withColumn(
+        "sig", F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)]))
+    rows_per_band = N_MINHASH // N_BANDS
+    banded = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)]).alias("bucket"))
+            for b in range(N_BANDS)])).alias("bb")) \
+        .select("doc_id", "sig", "bb.band", "bb.bucket")
+    return (banded
+            .groupBy("band", "bucket")
+            .applyInPandasWithState(
+                _near_dup,
+                outputStructType=NEAR_DUP_SCHEMA,
+                stateStructType=_NEAR_STATE_SCHEMA,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))

@@ -150,3 +150,55 @@ def test_streaming_first_wins_dedup(spark, tmp_path):
     got2 = run_batch([(1, "alpha text"), (7, "gamma text")], "b2.parquet")
     assert len(got2) == 3
     assert sorted(got2.canonical_doc_id) == [3, 7, 9]  # 1 not canonical
+
+
+def test_streaming_near_dedup_across_batches(spark, tmp_path):
+    """Cross-batch MinHash-LSH near-dup (r3 verdict item 8): a NEAR
+    (not exact) duplicate arriving in a later micro-batch is flagged
+    against the earlier document via bucket state; unrelated content
+    is not flagged."""
+    from pdf_parser_spark.streaming.dedup import near_dedup_stream
+
+    src = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ck")
+    os.makedirs(src, exist_ok=True)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+
+    def run_batch(rows, name):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, name))
+        q = (near_dedup_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .parquet(src))
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out).toPandas()
+
+    got1 = run_batch(
+        [(10, base),
+         (50, "totally different words with no overlap at all in any "
+              "shingle of this much longer unrelated document text")],
+        "b1.parquet")
+    assert len(got1) == 0  # nothing to be a duplicate OF yet
+
+    # near-duplicate of doc 10 arrives one batch later
+    got2 = run_batch([(99, base + " phi")], "b2.parquet")
+    flagged = got2[["doc_id", "dup_of"]].drop_duplicates()
+    assert len(flagged) == 1
+    assert (int(flagged.doc_id.iloc[0]), int(flagged.dup_of.iloc[0])) \
+        == (99, 10)
+    assert (got2.est_jaccard >= 0.5).all()
+
+    # unrelated content in a third batch: no new flags
+    got3 = run_batch([(123, "completely fresh content about other "
+                            "things entirely unlike anything before "
+                            "in this stream of documents")],
+                     "b3.parquet")
+    assert set(got3.doc_id) == {99}
