@@ -54,7 +54,8 @@ def completed_partitions(spark: SparkSession, root: str,
 def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
                      snapshot_id: str, n_partitions: int = 32,
                      chunk_size: int = 8,
-                     fail_after_chunks: int | None = None) -> None:
+                     fail_after_chunks: int | None = None,
+                     spread_big: bool = False) -> None:
     """Run extraction with per-chunk commits. ``fail_after_chunks`` lets
     tests simulate a killed job mid-run.
 
@@ -64,8 +65,17 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
     at 10^12 docs you'd size chunks so one chunk ~= 10-30 min of work."""
     cols = ["url", "html"] + (["password"] if "password" in pages.columns
                               else [])
-    keyed = partitioning.with_partition_key(pages.select(*cols),
-                                            n_partitions)
+    # spread_big: deterministic round-robin part_ids for oversized docs
+    # (guaranteed <= ceil(k/n) per partition vs the hash stream's
+    # birthday bound — measured 1.7-2.8x straggler win in
+    # tools/skew_bench.py); costs a window over the big subset, so it's
+    # opt-in for corpora whose tail is heavy enough to matter
+    if spread_big:
+        keyed = partitioning.spread_oversized(pages.select(*cols),
+                                              n_partitions)
+    else:
+        keyed = partitioning.with_partition_key(pages.select(*cols),
+                                                n_partitions)
 
     done = set(completed_partitions(spark, root, snapshot_id))
     todo = [p for p in range(n_partitions) if p not in done]

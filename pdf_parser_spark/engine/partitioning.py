@@ -8,11 +8,19 @@ Strategy (SURVEY.md §2.12 / §4.2):
   (engine.checkpoint) resumable: partition identity is a property of the
   DATA, not of the scheduler.
 * size-bucket skew salting: documents whose ``length(html)`` exceeds
-  ``big_bytes`` are routed to dedicated partitions, one salt per doc
-  (pmod of hash over a separate range), so one 100-1000x-median document
-  (the FIXTURES.md heavy tail) never stalls a partition full of small
-  docs. At 100 TB this is the difference between a 2h job and a 2h job
-  with one 14h straggler task.
+  ``big_bytes`` are re-keyed with an INDEPENDENT hash stream over the
+  FULL partition range (one salt per doc), so co-location of two
+  oversized documents is as unlikely as any two keys colliding across
+  the whole cluster. Sharing a partition with small docs is fine — the
+  smalls add milliseconds; another 1000x-median doc adds its whole
+  parse time, and THAT serialization is the straggler that turns a 2h
+  job into a 14h one. (The first design routed big docs into a small
+  DEDICATED range; tools/skew_bench.py measured that making big-big
+  collisions near-certain once the big count approaches the range size
+  — 0.7x "speedup", i.e. salting made it WORSE. docs/ROUND4.md §6.)
+
+For single documents too large for ANY task, partitioning cannot help —
+that is what the per-page split path is for (engine/paged.py).
 """
 
 from __future__ import annotations
@@ -28,26 +36,53 @@ DEFAULT_BIG_BYTES = 16_000
 def with_partition_key(df: DataFrame, n_partitions: int,
                        url_col: str = "url",
                        size_col: str | None = "html",
-                       big_bytes: int = DEFAULT_BIG_BYTES,
-                       big_share: float = 0.25) -> DataFrame:
+                       big_bytes: int = DEFAULT_BIG_BYTES) -> DataFrame:
     """Add a stable ``part_id`` column in [0, n_partitions).
 
-    Small docs hash over the first (1 - big_share) of the range; oversized
-    docs spread over the remaining dedicated salt range so they co-locate
-    only with other big docs (and spread as widely as possible).
-    """
-    n_small = max(1, int(n_partitions * (1.0 - big_share)))
-    n_big = max(1, n_partitions - n_small)
-    small_key = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_small))
+    All docs hash over the full range; oversized docs use an
+    independently-seeded hash stream (the salt), which both decorrelates
+    them from url clustering and keeps the assignment a pure projection
+    (part_id stays a property of the data — required for the checkpoint
+    manifest to be resumable across runs and cluster sizes)."""
+    key = F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_partitions))
     if size_col is None:
-        return df.withColumn("part_id", small_key.cast("int"))
-    big_key = (F.lit(n_small)
-               + F.pmod(F.xxhash64(F.col(url_col), F.lit(1)), F.lit(n_big)))
+        return df.withColumn("part_id", key.cast("int"))
+    big_key = F.pmod(F.xxhash64(F.col(url_col), F.lit(1)),
+                     F.lit(n_partitions))
     is_big = F.length(F.col(size_col)) > F.lit(big_bytes)
     return df.withColumn(
         "part_id",
-        F.when(is_big, big_key).otherwise(small_key).cast("int"),
+        F.when(is_big, big_key).otherwise(key).cast("int"),
     )
+
+
+def spread_oversized(df: DataFrame, n_partitions: int,
+                     url_col: str = "url",
+                     size_col: str = "html",
+                     big_bytes: int = DEFAULT_BIG_BYTES) -> DataFrame:
+    """Deterministic round-robin part_ids for oversized docs: rank the
+    big subset by (xxhash64(url), url) and assign ``(rank-1) % n`` —
+    guarantees at most ceil(k/n) big docs per partition, where hashing
+    (``with_partition_key``) only promises it in expectation (birthday
+    bound: with k ~ sqrt(n) bigs in flight a collision — two full
+    parses serialized in one task — is already likely).
+
+    Cost: one window over ONLY the big rows (rare by the big_bytes
+    premise; the window is single-partition, so use this when the big
+    count per job is bounded — e.g. per checkpoint chunk). part_id
+    remains a pure property of the data (the set of big urls), so the
+    checkpoint manifest stays resumable."""
+    from pyspark.sql import Window
+
+    is_big = F.length(F.col(size_col)) > F.lit(big_bytes)
+    small = df.where(~is_big).withColumn(
+        "part_id",
+        F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_partitions)).cast("int"))
+    w = Window.orderBy(F.xxhash64(F.col(url_col)), F.col(url_col))
+    big = df.where(is_big).withColumn(
+        "part_id",
+        F.pmod(F.row_number().over(w) - 1, F.lit(n_partitions)).cast("int"))
+    return small.unionByName(big)
 
 
 def repartition_for_extract(df: DataFrame, n_partitions: int,

@@ -44,18 +44,59 @@ def test_partition_key_stability(spark):
 
 
 def test_skew_salting_routes_big_docs(spark):
+    """Oversized docs are re-keyed on an independent hash stream over
+    the FULL range (big-big co-location is the straggler; sharing with
+    smalls is cheap — see partitioning module docstring + skew bench)."""
+    from pyspark.sql import functions as F
+
     from pdf_parser_spark.engine import partitioning
 
     rows = [("u%d" % i, bytearray(100)) for i in range(100)]
-    rows.append(("big", bytearray(1_000_000)))
+    rows += [("big%d" % i, bytearray(1_000_000)) for i in range(8)]
     df = spark.createDataFrame(rows, "url string, html binary")
     keyed = partitioning.with_partition_key(df, 32, big_bytes=10_000)
-    big_part = keyed.filter("url = 'big'").select("part_id").collect()[0][0]
-    # big docs land in the dedicated top range [24, 32)
-    assert big_part >= 24
-    small_parts = [r.part_id for r in
-                   keyed.filter("url <> 'big'").select("part_id").collect()]
-    assert max(small_parts) < 24
+    big_parts = [r.part_id for r in
+                 keyed.filter("url LIKE 'big%'").orderBy("url")
+                 .select("part_id").collect()]
+    # big part_ids come from the SEEDED stream, not the small-doc hash
+    # (a single url can coincide 1/n of the time; the vector cannot)
+    unsalted = df.withColumn(
+        "part_id",
+        F.pmod(F.xxhash64("url"), F.lit(32)).cast("int"))
+    plain_parts = [r.part_id for r in
+                   unsalted.filter("url LIKE 'big%'").orderBy("url")
+                   .select("part_id").collect()]
+    assert big_parts != plain_parts
+    assert all(0 <= p < 32 for p in big_parts)
+    assert keyed.agg(F.max("part_id")).collect()[0][0] < 32
+    # determinism: identical corpus -> identical assignment
+    again = partitioning.with_partition_key(df, 32, big_bytes=10_000)
+    assert keyed.collect() == again.collect()
+
+
+def test_spread_oversized_round_robin(spark):
+    """spread_oversized guarantees <= ceil(k/n) big docs per partition
+    (hashing only promises it in expectation): 6 planted big docs over
+    32 partitions land in 6 DISTINCT partitions, deterministically."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine import partitioning
+
+    rows = [("u%d" % i, bytearray(100)) for i in range(200)]
+    rows += [("big%d" % i, bytearray(20_000)) for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    keyed = partitioning.spread_oversized(df, 32, big_bytes=10_000)
+    per_part = (keyed.where(F.length("html") > 10_000)
+                .groupBy("part_id").count().collect())
+    assert len(per_part) == 6
+    assert max(r["count"] for r in per_part) == 1
+    # small docs unaffected: full-range hash
+    assert keyed.agg(F.max("part_id")).collect()[0][0] < 32
+    # deterministic across invocations (resume-stable part_id)
+    again = partitioning.spread_oversized(df, 32, big_bytes=10_000)
+    a = sorted(map(tuple, keyed.select("url", "part_id").collect()))
+    b = sorted(map(tuple, again.select("url", "part_id").collect()))
+    assert a == b
 
 
 def test_checkpoint_resume(spark, tmp_path):

@@ -216,6 +216,12 @@ def main() -> None:
         "docs": s32["docs"],
         "sf_dir": sf_dir,
         "steal_seconds_during_bench": round(steal_s, 1),
+        # the >=0.8 gate is evaluated on ONE pre-declared pair; record
+        # which, so a future change of headline pair is auditable in the
+        # JSON itself (the round-3 move from 4->16 to 2->8 is documented
+        # in the markdown's 'Why the headline pair is 2->8' section and
+        # BASELINE.md history)
+        "passes_pair": "local2_to_local8",
         "passes": eff_2_8 >= 0.8,
     }
     print(json.dumps(result))
@@ -281,6 +287,16 @@ local[16] has measured ~15.5k docs/s across rounds while the
 low-parallelism levels got faster each round (per-core engine
 improvements), which mechanically LOWERS high-pair ratios. All pairs
 are reported; none is hidden.
+
+Headline-pair history (auditability): round 1-2 gated on 4->16; round 3
+moved the gate to 2->8 for the bandwidth-envelope reason above, with
+all pairs still reported. The machine-readable gate pair is recorded as
+``passes_pair`` in the JSON next to ``passes``.
+
+## Skew stress (oversized-doc spreading)
+
+See BENCH/SKEW.md (written by tools/skew_bench.py — straggler cost of
+big-doc co-location under hash vs deterministic round-robin part_ids).
 
 ## Reference baseline
 
