@@ -34,6 +34,10 @@ def main() -> None:
     ap.add_argument("--replicate", type=int, default=1)
     ap.add_argument("--fail-after-chunks", type=int, default=None,
                     help="test hook: simulate a kill after N chunks")
+    ap.add_argument("--spread-big", action="store_true",
+                    help="deterministic round-robin part_ids for "
+                         "oversized docs (guaranteed ceil(k/n) per "
+                         "partition; see BENCH/SKEW.md)")
     ap.add_argument("--password", default=None,
                     help="password for protected PDFs, applied to every "
                          "document (reference cli.py:77 parity); a pages "
@@ -54,7 +58,8 @@ def main() -> None:
     checkpoint.run_checkpointed(
         spark, pages, args.out, args.snapshot,
         n_partitions=args.partitions, chunk_size=args.chunk_size,
-        fail_after_chunks=args.fail_after_chunks)
+        fail_after_chunks=args.fail_after_chunks,
+        spread_big=args.spread_big)
 
     done = checkpoint.completed_partitions(spark, args.out, args.snapshot)
     committed = checkpoint.read_committed(spark, args.out, args.snapshot)
