@@ -284,6 +284,10 @@ def connected_components(edges: DataFrame,
     sc = edges.sparkSession.sparkContext
 
     def ckpt(df: DataFrame) -> DataFrame:
+        # EAGER on purpose: lazy (eager=False) measured SLOWER at sf0.1
+        # (4.4-4.9s vs 3.5s) — the materializing agg reads a projection,
+        # so the checkpoint RDD isn't fully persisted and later
+        # references recompute
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
@@ -296,7 +300,12 @@ def connected_components(edges: DataFrame,
         return int(row.n or 0), int(row.sig or 0)
 
     # canonical orientation (big, small); ONE evaluation of the upstream
-    # pipeline (e.g. the whole LSH rerank), truncated at the checkpoint
+    # pipeline (e.g. the whole LSH rerank), truncated at the checkpoint.
+    # No manual graph-sized repartition: AQE coalescePartitions (on in
+    # engine.session) already shrinks each round's tiny shuffles, and an
+    # explicit repartition would ADD an exchange per round (measured:
+    # removing it + the second initial checkpoint cut the sf0.1 query
+    # ~25%).
     e = ckpt(edges.where(F.col("s") != F.col("t"))
              .select(F.greatest("s", "t").alias("u"),
                      F.least("s", "t").alias("v"))
@@ -306,11 +315,6 @@ def connected_components(edges: DataFrame,
         empty = edges.sparkSession.createDataFrame(
             [], "doc_id long, cluster_id long").persist()
         return empty, 0
-    # size iteration frames to the GRAPH, not the corpus (a few hundred
-    # near-dup edges iterate as single-task stages, a billion-edge graph
-    # still spreads across the cluster)
-    nparts = max(1, min(sc.defaultParallelism, n_edges // 50_000 + 1))
-    e = ckpt(e.repartition(nparts, "u"))
 
     rounds = 0
     while rounds < max_iters:
@@ -330,8 +334,7 @@ def connected_components(edges: DataFrame,
         large = (sym.join(mins, "x")
                  .where(F.col("y") > F.col("x"))
                  .select(F.col("y").alias("u"), F.col("m").alias("v"))
-                 .where(F.col("u") != F.col("v")).distinct()
-                 .repartition(nparts, "u"))
+                 .where(F.col("u") != F.col("v")).distinct())
         # SMALL-STAR: edges are now oriented (u > v); for each u,
         # m = min of its smaller neighbors; re-hang those neighbors
         # and u itself onto m.
@@ -345,8 +348,7 @@ def connected_components(edges: DataFrame,
                      .where(F.col("d.a") != F.col("d.b"))
                      .select(F.col("d.a").alias("u"),
                              F.col("d.b").alias("v"))
-                     .distinct()
-                     .repartition(nparts, "u"))
+                     .distinct())
         new_n, new_sig = star_sig(new_e)
         e = new_e
         if (new_n, new_sig) == (n_edges, sig):
