@@ -259,6 +259,37 @@ def test_bpe_merge_loop_algorithm(monkeypatch):
         bpe.encode_word.cache_clear()
 
 
+def test_bpe_duckdb_replay_agrees_on_random_words():
+    """Cross-engine property: the DuckDB recursive-CTE merge replay
+    (the driver's oracle) produces the same token counts as the Python
+    merge loop on RANDOM words — including words far outside the
+    training distribution (the oracle corpus only has 31 distinct
+    words, so this is the test that exercises the CTE's merge
+    mechanics, not its memorization)."""
+    import random
+
+    import duckdb
+
+    from pdf_parser_spark.analytics import bpe
+
+    rng = random.Random(42)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    words = ["".join(rng.choice(alphabet)
+                     for _ in range(rng.randint(1, 14)))
+             for _ in range(60)]
+    words += ["join", "customer", "hash", "a", "zz"]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () - 1 "
+        "AS doc_id, w AS text FROM (SELECT unnest(?) AS w)", [words])
+    got = {r[0]: r[2] for r in con.execute(
+        bpe.oracle_merge_sql("documents", "text")).fetchall()}
+    for i, w in enumerate(words):
+        expect = len(bpe.encode_word(w))
+        assert got[i] == expect, (w, got[i], expect)
+
+
 def test_bpe_committed_merges_pinned():
     """Drift guard for the committed merges table: known words encode to
     known subword sequences (regenerate with tools/train_bpe.py and
