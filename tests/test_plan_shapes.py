@@ -35,14 +35,24 @@ def queries(spark):
                 "repetition_features", "chunk_documents", "host_stats",
                 "quality_features", "dedup_lsh_pairs", "tpch_q5",
                 "sample_corpus", "pack_chunks", "pii_features",
-                "boilerplate_ngrams",
+                "boilerplate_ngrams", "bpe_token_counts", "lang_features",
             }}
 
 
 def test_pure_projection_queries_have_zero_shuffles(queries):
     for name in ("text_stats", "quality_features", "repetition_features",
-                 "chunk_documents"):
+                 "chunk_documents", "lang_features"):
         assert _shuffles(queries[name]) == 0, name
+
+
+def test_bpe_counts_one_arrow_hop_no_shuffle(queries):
+    """Real BPE: scan -> one Arrow eval (merge loop) -> projection.
+    No shuffle, and exactly ONE Python boundary — a second
+    ArrowEvalPython would mean Catalyst cloned the UDF below a
+    consumer (the round-3 contamination lesson)."""
+    df = queries["bpe_token_counts"]
+    assert _shuffles(df) == 0
+    assert _plan(df).count("ArrowEvalPython") == 1
 
 
 def test_corpus_filter_is_one_corpus_shuffle(queries):
