@@ -292,12 +292,29 @@ def connected_components(edges: DataFrame,
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    def star_sig(df: DataFrame) -> tuple[int, int]:
+    def star_sig(df: DataFrame) -> tuple[int, int, bool]:
+        """(count, order-independent checksum, is_star_forest).
+
+        Star-forest = the algorithm's fixpoint (each non-root points
+        straight at its component min), detectable in the SAME pass
+        that materializes the round: every u appears exactly once
+        (countDistinct(u) == count) and the u/v sets are disjoint
+        (checked with one extra tiny job only when the first condition
+        holds). Detecting it directly saves the whole
+        confirmation round the checksum comparison would need."""
         row = df.agg(
             F.count("*").alias("n"),
             F.sum(F.crc32(F.concat_ws(",", "u", "v"))).alias("sig"),
+            F.countDistinct("u").alias("du"),
+            F.countDistinct("v").alias("dv"),
         ).collect()[0]
-        return int(row.n or 0), int(row.sig or 0)
+        n, sig = int(row.n or 0), int(row.sig or 0)
+        if n and int(row.du) == n:
+            nodes = (df.select(F.explode(F.array("u", "v")).alias("x"))
+                     .agg(F.countDistinct("x")).collect()[0][0])
+            if int(nodes) == n + int(row.dv):  # u-set ∩ v-set empty
+                return n, sig, True
+        return n, sig, False
 
     # canonical orientation (big, small); ONE evaluation of the upstream
     # pipeline (e.g. the whole LSH rerank), truncated at the checkpoint.
@@ -310,14 +327,15 @@ def connected_components(edges: DataFrame,
              .select(F.greatest("s", "t").alias("u"),
                      F.least("s", "t").alias("v"))
              .distinct())
-    n_edges, sig = star_sig(e)
+    n_edges, sig, is_stars = star_sig(e)
     if n_edges == 0:
         empty = edges.sparkSession.createDataFrame(
             [], "doc_id long, cluster_id long").persist()
         return empty, 0
 
+    converged = is_stars  # input may already be a star forest
     rounds = 0
-    while rounds < max_iters:
+    while not converged and rounds < max_iters:
         rounds += 1
         # LARGE-STAR on the symmetrized graph: for each center x with
         # neighbors N(x), m = min(N(x) + {x}); emit (y, m) for every
@@ -349,13 +367,13 @@ def connected_components(edges: DataFrame,
                      .select(F.col("d.a").alias("u"),
                              F.col("d.b").alias("v"))
                      .distinct())
-        new_n, new_sig = star_sig(new_e)
+        new_n, new_sig, is_stars = star_sig(new_e)
         e = new_e
-        if (new_n, new_sig) == (n_edges, sig):
+        if is_stars or (new_n, new_sig) == (n_edges, sig):
             # fixpoint: every component is a star rooted at its min
-            break
+            converged = True
         n_edges, sig = new_n, new_sig
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components: did not converge within "
             f"max_iters={max_iters} rounds — at O(log n) rounds this "

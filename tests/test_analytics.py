@@ -728,17 +728,34 @@ def test_decode_real_rejects_corrupt_and_exotic_headers():
 
 def test_dedup_clusters_raises_on_nonconvergence(spark):
     """Exhausting max_iters without a fixpoint must be loud — a partial
-    propagation silently splits clusters."""
+    propagation silently splits clusters. Needs a genuinely deep graph:
+    near-clique inputs now converge in ONE round (the star-forest early
+    stop), so the budget is exhausted with a 64-node path instead."""
     import pytest
 
+    from pdf_parser_spark.analytics import dedup
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "s long, t long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iters=1)
+
+
+def test_dedup_clusters_near_clique_single_round(spark):
+    """A near-clique duplicate cluster (the common web-dup shape) must
+    finish in ONE round via the star-forest early stop — max_iters=1
+    suffices where the checksum-compare alone needed a second
+    confirmation round."""
     from pdf_parser_spark.analytics import dedup
 
     base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
             "lam mu nu xi omicron pi rho sigma tau upsilon")
     rows = [(10, base), (11, base + " phi"), (12, base + " phi chi")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.dedup_clusters(docs, min_jaccard=0.3, max_iters=1)
+    got = {r.doc_id: r.cluster_id
+           for r in dedup.dedup_clusters(docs, min_jaccard=0.3,
+                                         max_iters=1).collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
 
 
 def test_semantic_dedup_recall_on_clustered_data(spark):
