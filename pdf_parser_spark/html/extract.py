@@ -335,6 +335,8 @@ def extract_html(data: bytes, fast: bool = True) -> dict:
                 ).strip()
             if ch.tag == "html":
                 lang = (ch.attrs or {}).get("lang", "") or lang
+            if title and lang:
+                return  # both live near the top; stop walking the body
             if ch.tag:
                 _find_meta(ch)
 
