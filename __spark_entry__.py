@@ -640,6 +640,46 @@ def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_name", "revenue"))
 
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 flavor: top-10 unshipped BUILDING-segment orders by
+    revenue. Customer broadcast (small dim), one orders-lineitem
+    shuffle, tiny final top-k sort (deterministic tie-break on
+    l_orderkey)."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    li, orders, cust = rd("lineitem"), rd("orders"), rd("customer")
+    return (li.where(F.col("l_shipdate") > F.lit("1996-06-30"))
+            .join(orders.where(F.col("o_orderdate") < F.lit("1996-07-01")),
+                  li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(
+                cust.where(F.col("c_mktsegment") == "BUILDING")),
+                orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(dec("l_extendedprice")
+                               * (F.lit(1).cast("decimal(18,4)")
+                                  - dec("l_discount"))).cast("double"), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate"))
+
+
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 flavor: forecast-revenue — a pure pushed-down
+    filter + single aggregation over lineitem (zero joins; the plan is
+    scan -> partial agg -> one-row exchange)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01"))
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(dec("l_extendedprice")
+                               * dec("l_discount")).cast("double"), 2)
+                 .alias("revenue")))
+
+
 def _q_orders_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 flavor: EXISTS semi-join — orders having at least one
     returned lineitem, counted by priority. left_semi keeps the probe
@@ -761,7 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "contamination_check": _q_contamination,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
         "orders_with_returns": _q_orders_with_returns,
         "top_customers_by_nation": _q_top_customers,
         "dedup_clusters": _q_dedup_clusters,
@@ -1307,6 +1349,29 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS count_order FROM lineitem "
             "WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
             "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "tpch_q3": (
+            "SELECT l_orderkey, round(CAST(sum(CAST(l_extendedprice AS "
+            "DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - "
+            "CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 2) "
+            "AS revenue, o_orderdate "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND l_shipdate > TIMESTAMP '1996-06-30' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "tpch_q6": (
+            "SELECT round(CAST(sum(CAST(l_extendedprice AS "
+            "DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) "
+            "AS DOUBLE), 2) AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 "
+            "AND l_quantity < 24"
         ),
         "tpch_q5": (
             "SELECT n_name, round(CAST(sum(CAST(l_extendedprice AS "

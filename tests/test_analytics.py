@@ -278,6 +278,9 @@ def test_bpe_duckdb_replay_agrees_on_random_words():
                      for _ in range(rng.randint(1, 14)))
              for _ in range(60)]
     words += ["join", "customer", "hash", "a", "zz"]
+    # unicode: DuckDB w[i] indexes CODEPOINTS, Python indexes chars —
+    # they must agree on multi-byte scripts and accents too
+    words += ["机器学习", "café", "naïve", "데이터", "über"]
 
     con = duckdb.connect()
     con.execute(
@@ -586,6 +589,30 @@ def test_connected_components_chain_olog_rounds(spark):
     assert len(got) == 1000 and set(got.values()) == {0}
     # ~3*log2(1000) bound with slack; hash-to-min would need 999
     assert rounds <= 14, rounds
+
+
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir set, the iteration uses RELIABLE
+    df.checkpoint() (survives executor loss on a cluster) instead of
+    localCheckpoint — same labels either way."""
+    from pdf_parser_spark.analytics import dedup
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "s long, t long")
+        labels, rounds = dedup.connected_components(edges)
+        try:
+            got = {r.doc_id: r.cluster_id for r in labels.collect()}
+        finally:
+            labels.unpersist()
+        assert len(got) == 31 and set(got.values()) == {0}
+        assert rounds >= 1
+    finally:
+        # leave no global checkpoint dir behind for other tests
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
 
 
 def test_connected_components_multi_component_and_handle(spark):

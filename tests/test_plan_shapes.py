@@ -36,6 +36,7 @@ def queries(spark):
                 "quality_features", "dedup_lsh_pairs", "tpch_q5",
                 "sample_corpus", "pack_chunks", "pii_features",
                 "boilerplate_ngrams", "bpe_token_counts", "lang_features",
+                "tpch_q3", "tpch_q6",
             }}
 
 
@@ -43,6 +44,27 @@ def test_pure_projection_queries_have_zero_shuffles(queries):
     for name in ("text_stats", "quality_features", "repetition_features",
                  "chunk_documents", "lang_features"):
         assert _shuffles(queries[name]) == 0, name
+
+
+def test_tpch_q6_is_pushdown_scan_plus_one_row_agg(queries):
+    """Q6 flavor: every predicate reaches the parquet scan (projection
+    pruned to the 4 referenced columns) and the only exchange is the
+    one-row final aggregation — zero hash shuffles, zero joins."""
+    df = queries["tpch_q6"]
+    plan = _plan(df)
+    assert _shuffles(df) == 0
+    scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
+    assert "l_shipdate" in scan and "l_discount" in scan \
+        and "l_quantity" in scan and "l_extendedprice" in scan
+    assert "l_returnflag" not in scan  # column pruning held
+
+
+def test_tpch_q3_broadcasts_customer(queries):
+    """Q3 flavor: the filtered customer dim rides a broadcast; only the
+    orders-lineitem equi-join and the group-by shuffle remain."""
+    df = queries["tpch_q3"]
+    assert _broadcasts(df) >= 1
+    assert _shuffles(df) <= 3
 
 
 def test_bpe_counts_one_arrow_hop_no_shuffle(queries):
