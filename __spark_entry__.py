@@ -751,6 +751,19 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(_docs(spark, sf_dir), min_jaccard=0.5)
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl dedup: even doc_ids play the already-indexed
+    historical corpus (lsh_index — the persistable state), odd ids the
+    new batch; flags = new docs near-duplicating indexed ones. The join
+    touches index BUCKETS, never historical text."""
+    from pdf_parser_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    index = dedup.lsh_index(docs.where(F.col("doc_id") % 2 == 0))
+    return dedup.incremental_near_duplicates(
+        index, docs.where(F.col("doc_id") % 2 == 1), min_jaccard=0.5)
+
+
 def _q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII detection/redaction: per-doc regex match counts + redacted
     text, all JVM expressions (zero shuffles)."""
@@ -807,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": _q_orders_with_returns,
         "top_customers_by_nation": _q_top_customers,
         "dedup_clusters": _q_dedup_clusters,
+        "incremental_dedup": _q_incremental_dedup,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
         "lm_quality": _q_lm_quality,
@@ -1004,6 +1018,23 @@ def oracle_sql() -> dict[str, str]:
             "JOIN shd sb ON p.doc_b = sb.doc_id"
         ),
         "dedup_simhash": _sql_simhash(16),
+        "incremental_dedup": (
+            _sql_minhash_cte(8)
+            + f", banded AS ({banded}), "
+            "pairs AS (SELECT DISTINCT n.doc_id AS new_doc_id, "
+            "i.doc_id AS dup_of FROM banded n JOIN banded i "
+            "ON n.band = i.band AND n.bucket = i.bucket "
+            "AND n.doc_id % 2 = 1 AND i.doc_id % 2 = 0), "
+            "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh) "
+            "SELECT * FROM (SELECT p.new_doc_id, p.dup_of, "
+            "round(CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) / "
+            "(len(sa.sd) + len(sb.sd) "
+            " - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))), 6) "
+            "AS jaccard "
+            "FROM pairs p JOIN shd sa ON p.new_doc_id = sa.doc_id "
+            "JOIN shd sb ON p.dup_of = sb.doc_id) "
+            "WHERE jaccard >= 0.5"
+        ),
         "dedup_clusters": (
             _sql_minhash_cte(8).replace("WITH ", "WITH RECURSIVE ", 1)
             + f", banded AS ({banded}), "

@@ -438,6 +438,65 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     return result
 
 
+def lsh_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Persistable MinHash-LSH index of a corpus: one row per
+    (doc_id, band, bucket) with the doc's distinct shingle-hash array
+    attached. Write it out partitioned/bucketed by (band, bucket) and
+    incremental crawls join against it without touching the historical
+    TEXT at all — the index is the only state the incremental path
+    needs (the same columns the full-corpus pass computes, §B of
+    dedup_lsh_pairs).
+
+    Size: bands x |corpus| narrow rows + one shingle array per row.
+    At 10^12 docs you'd bucket the storage by `bucket` so the
+    incremental join prunes to matching buckets."""
+    rows = N_MINHASH // N_BANDS
+    sig = (with_shingle_hashes(docs, text_col)
+           .select("doc_id", F.array_distinct("sh").alias("shd")))
+    for j in range(N_MINHASH):
+        a, b = perm_params(j)
+        sig = sig.withColumn(
+            f"mh{j}", F.array_min(F.transform("shd", _perm(a, b))))
+    return (sig.select(
+        "doc_id", "shd",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[
+                    F.col(f"mh{b * rows + r}").cast("string")
+                    for r in range(rows)]).alias("bucket"))
+            for b in range(N_BANDS)])).alias("bb"))
+        .select("doc_id", "bb.band", "bb.bucket", "shd"))
+
+
+def incremental_near_duplicates(index: DataFrame, new_docs: DataFrame,
+                                text_col: str = "text",
+                                min_jaccard: float = 0.5) -> DataFrame:
+    """Incremental crawl dedup: flag NEW documents that are near-dups
+    of the indexed corpus (new_doc_id, dup_of, jaccard). The new batch
+    is banded exactly like the index and equi-joined on (band, bucket);
+    only bucket-colliding pairs rerank with exact hashed-shingle
+    jaccard. Shuffle carries the new batch (small) against the
+    matching index buckets — never the historical corpus text.
+
+    A doc colliding with the same historical doc in several bands
+    collapses to one row (max-jaccard groupBy on the pair)."""
+    new_idx = lsh_index(new_docs, text_col)
+    joined = (new_idx.alias("n")
+              .join(index.alias("i"), on=["band", "bucket"])
+              .where(F.col("n.doc_id") != F.col("i.doc_id"))
+              .select(F.col("n.doc_id").alias("new_doc_id"),
+                      F.col("i.doc_id").alias("dup_of"),
+                      F.col("n.shd").alias("sh_n"),
+                      F.col("i.shd").alias("sh_i"))
+              .dropDuplicates(["new_doc_id", "dup_of"]))
+    inter = F.size(F.array_intersect("sh_n", "sh_i"))
+    union = F.size("sh_n") + F.size("sh_i") - inter
+    return (joined.select("new_doc_id", "dup_of",
+                          F.round(inter / union, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= min_jaccard))
+
+
 # kept for callers that want raw shingle hash arrays
 def shingles(text_col, n: int = SHINGLE_N):
     """DEPRECATED in favor of with_shingle_hashes (see PERF invariants in

@@ -637,6 +637,35 @@ def test_connected_components_multi_component_and_handle(spark):
         empty.unpersist()
 
 
+def test_incremental_near_duplicates_against_index(spark):
+    """Incremental crawl dedup: new docs flag against the PERSISTED
+    index (here: a written+reread parquet), without touching the
+    historical text; unrelated new docs pass clean."""
+    from pdf_parser_spark.analytics import dedup
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    hist = spark.createDataFrame(
+        [(10, base),
+         (20, "totally different historical words with no overlap in "
+              "any shingle of this much longer unrelated text")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(101, base + " phi"),          # near-dup of 10
+         (102, "fresh content about nothing seen before in the corpus "
+               "index at all whatsoever in any way")],
+        "doc_id long, text string")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        dedup.lsh_index(hist).write.mode("overwrite").parquet(d)
+        index = spark.read.parquet(d)
+        got = dedup.incremental_near_duplicates(
+            index, new, min_jaccard=0.3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.new_doc_id, r.dup_of) == (101, 10) and r.jaccard >= 0.3
+
+
 def test_dedup_clusters_explicit_handle(spark):
     """return_handle=True hands back the persisted labels frame so the
     caller can release it (the attribute convention drops the handle on
