@@ -921,6 +921,7 @@ _LANG_SCRIPTS_SQL = {
     "zh": "[\\x{3400}-\\x{4DBF}\\x{4E00}-\\x{9FFF}]",
     "ja": "[\\x{3040}-\\x{30FF}]",
     "ko": "[\\x{AC00}-\\x{D7AF}]",
+    "ru": "[\\x{0400}-\\x{04FF}]",
 }
 
 

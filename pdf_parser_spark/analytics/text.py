@@ -30,6 +30,7 @@ LANG_SCRIPTS: dict[str, str] = {
     "zh": "\u3400-\u4dbf\u4e00-\u9fff",  # Han: ExtA + URO
     "ja": "\u3040-\u30ff",                 # hiragana + katakana
     "ko": "\uac00-\ud7af",                 # hangul syllables
+    "ru": "\u0400-\u04ff",                 # cyrillic
 }
 
 # BPE-ish word/punct token regex (word runs OR single non-space symbol).

@@ -332,7 +332,8 @@ def test_lang_features_cjk_script_ranges(spark):
     rows = [(1, "机器学习模型在大规模数据上训练"),
             (2, "これはテストです ひらがなとカタカナ"),
             (3, "대규모 데이터 처리 파이프라인 테스트"),
-            (4, "the quick brown fox is one of the best and the rest")]
+            (4, "the quick brown fox is one of the best and the rest"),
+            (5, "обработка данных в больших масштабах")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in T.lang_features(df).collect()}
     assert got[1].lang_guess == "zh"
@@ -342,6 +343,8 @@ def test_lang_features_cjk_script_ranges(spark):
                                  for c in rows[1][1])
     assert got[3].lang_guess == "ko"
     assert got[4].lang_guess == "en" and got[4].hits_zh == 0
+    assert got[5].lang_guess == "ru"
+    assert got[5].hits_ru == sum("Ѐ" <= c <= "ӿ" for c in rows[4][1])
 
 
 def test_ivf_recall_on_clustered_data(spark):
