@@ -90,6 +90,11 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
         "parent": parent_id,
         "operation": mode,
         "files": parent_files + new_files,
+        # the snapshot's CURRENT schema (Iceberg: schema rides the
+        # metadata, not the data files) — an append with new columns
+        # evolves the table schema; readers pin this and old files
+        # surface NULL for columns they predate
+        "schema": json.loads(df.schema.json()),
     }
     tmp = os.path.join(sdir, f".tmp-{snap_id}")
     with open(tmp, "w") as f:
@@ -98,16 +103,33 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     return snap_id
 
 
+def _read_files(spark: SparkSession, table_dir: str,
+                manifest: dict, files: list[str]) -> DataFrame:
+    """Read data files under the manifest's pinned schema (add-column
+    schema evolution: files written before a column existed yield NULL
+    for it; files carrying since-dropped columns just don't project
+    them). Manifests from before schemas were recorded fall back to
+    parquet self-description."""
+    paths = [os.path.join(table_dir, "data", f) for f in files]
+    schema_json = manifest.get("schema")
+    reader = spark.read
+    if schema_json is not None:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(schema_json))
+    return reader.parquet(*paths)
+
+
 def read_snapshot(spark: SparkSession, table_dir: str,
                   snapshot_id: str | None = None) -> DataFrame:
-    """Snapshot-isolated read (defaults to the current snapshot)."""
+    """Snapshot-isolated read (defaults to the current snapshot) under
+    the snapshot's OWN schema — time travel also travels the schema."""
     if snapshot_id is None:
         snapshot_id = current_snapshot(table_dir)
         if snapshot_id is None:
             raise FileNotFoundError(f"no snapshots in {table_dir}")
-    files = _manifest(table_dir, snapshot_id)["files"]
-    paths = [os.path.join(table_dir, "data", f) for f in files]
-    return spark.read.parquet(*paths)
+    m = _manifest(table_dir, snapshot_id)
+    return _read_files(spark, table_dir, m, m["files"])
 
 
 def read_appends(spark: SparkSession, table_dir: str,
@@ -132,12 +154,11 @@ def read_appends(spark: SparkSession, table_dir: str,
                 f"snapshot {snap} is an overwrite — incremental append "
                 "scan undefined across it")
     base = set(_manifest(table_dir, from_snapshot)["files"])
-    new = [f for f in _manifest(table_dir, to_snapshot)["files"]
-           if f not in base]
+    to_manifest = _manifest(table_dir, to_snapshot)
+    new = [f for f in to_manifest["files"] if f not in base]
     if not new:
         return read_snapshot(spark, table_dir, to_snapshot).limit(0)
-    return spark.read.parquet(
-        *[os.path.join(table_dir, "data", f) for f in new])
+    return _read_files(spark, table_dir, to_manifest, new)
 
 
 def rollback(table_dir: str, snapshot_id: str) -> str:
@@ -156,6 +177,8 @@ def rollback(table_dir: str, snapshot_id: str) -> str:
         "operation": "rollback",
         "rolled_back_to": snapshot_id,
         "files": old["files"],
+        # rollback restores the old SCHEMA too (it points at old files)
+        **({"schema": old["schema"]} if "schema" in old else {}),
     }
     tmp = os.path.join(sdir, f".tmp-{new_id}")
     with open(tmp, "w") as f:

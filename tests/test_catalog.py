@@ -93,3 +93,38 @@ def test_rollback_preserves_history(spark, tmp_path):
     assert catalog.read_snapshot(spark, tdir, s2).count() == 20
     ops = [h["operation"] for h in catalog.history(tdir)]
     assert ops == ["append", "append", "rollback"]
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg-style add-column evolution: an append carrying a new
+    column evolves the table schema; rows written before the column
+    existed read back NULL for it, time travel reads the OLD schema,
+    and the incremental scan uses the evolved one."""
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "evo_tbl")
+    s1 = catalog.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"),
+        tdir, "append")
+    s2 = catalog.commit(
+        spark.createDataFrame([(3, "c", 0.9)],
+                              "id long, name string, quality double"),
+        tdir, "append")
+
+    cur = catalog.read_snapshot(spark, tdir)
+    assert set(cur.columns) == {"id", "name", "quality"}
+    rows = {r.id: r.quality for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 0.9}
+
+    # time travel: the old snapshot keeps its own (pre-column) schema
+    old = catalog.read_snapshot(spark, tdir, s1)
+    assert set(old.columns) == {"id", "name"}
+
+    # incremental scan reads the evolved schema
+    inc = catalog.read_appends(spark, tdir, s1, s2)
+    assert set(inc.columns) == {"id", "name", "quality"}
+    assert inc.count() == 1
+
+    # rollback restores the pre-evolution schema
+    catalog.rollback(tdir, s1)
+    assert set(catalog.read_snapshot(spark, tdir).columns) == {"id", "name"}
