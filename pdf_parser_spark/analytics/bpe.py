@@ -41,8 +41,10 @@ def load_merges() -> tuple[tuple[str, str], ...]:
     text = (_resources.files("pdf_parser_spark.analytics")
             .joinpath("bpe_merges.txt").read_text(encoding="utf-8"))
     out = []
-    for line in text.splitlines():
-        if line.startswith("#") or not line.strip():
+    for i, line in enumerate(text.splitlines()):
+        # merges.txt format: ONLY the first line is a header — '#' is a
+        # legal symbol, so a later line like '# t' is a learned merge
+        if (i == 0 and line.startswith("#")) or not line.strip():
             continue
         a, b = line.split(" ")
         out.append((a, b))

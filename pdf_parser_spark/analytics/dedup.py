@@ -88,6 +88,36 @@ def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return df.drop("_th")
 
 
+def with_minhash_cols(sig: DataFrame,
+                      shingle_col: str = "shd") -> DataFrame:
+    """Adds mh0..mh{N-1} minhash columns over a distinct-shingle-hash
+    array column."""
+    for j in range(N_MINHASH):
+        a, b = perm_params(j)
+        sig = sig.withColumn(
+            f"mh{j}", F.array_min(F.transform(shingle_col, _perm(a, b))))
+    return sig
+
+
+def banded_keys(sig: DataFrame, *keep_cols: str,
+                bands: int = N_BANDS) -> DataFrame:
+    """Explode a minhash-signature frame (mh0..mh{N-1}) into LSH
+    (band, bucket) rows, keeping ``keep_cols``. The ONE definition of
+    the bucket encoding — batch pairs, the persistable index, and the
+    streaming operator must stay bucket-compatible with each other and
+    with the DuckDB oracle's banded CTE, so they all call this."""
+    rows = N_MINHASH // bands
+    bb = F.explode(F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(",", *[
+                F.col(f"mh{b * rows + r}").cast("string")
+                for r in range(rows)]).alias("bucket"))
+        for b in range(bands)]))
+    return (sig.select(*keep_cols, bb.alias("bb"))
+            .select(*keep_cols, "bb.band", "bb.bucket"))
+
+
 def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
                         bands: int = N_BANDS,
                         persist: bool = True) -> DataFrame:
@@ -108,29 +138,12 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     this repeatedly should ``result.lsh_persisted_base.unpersist()``
     after consuming the result (or pass persist=False to trade the
     second tokenize pass for zero cache footprint)."""
-    rows = N_MINHASH // bands
     base = (with_shingle_hashes(docs, text_col)
             .select("doc_id", F.array_distinct("sh").alias("shd")))
     if persist:
         base = base.persist()
-    sig = base
-    for j in range(N_MINHASH):
-        a, b = perm_params(j)
-        sig = sig.withColumn(
-            f"mh{j}", F.array_min(F.transform("shd", _perm(a, b))))
     # narrow banding rows only (no arrays through the join shuffle)
-    banded = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[
-                    F.col(f"mh{b * rows + r}").cast("string")
-                    for r in range(rows)
-                ]).alias("bucket"))
-            for b in range(bands)
-        ])).alias("bb"))
-    banded = banded.select("doc_id", "bb.band", "bb.bucket")
+    banded = banded_keys(with_minhash_cols(base), "doc_id", bands=bands)
     pairs = (banded.alias("a").join(banded.alias("b"), on=["band", "bucket"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
@@ -450,23 +463,10 @@ def lsh_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Size: bands x |corpus| narrow rows + one shingle array per row.
     At 10^12 docs you'd bucket the storage by `bucket` so the
     incremental join prunes to matching buckets."""
-    rows = N_MINHASH // N_BANDS
-    sig = (with_shingle_hashes(docs, text_col)
-           .select("doc_id", F.array_distinct("sh").alias("shd")))
-    for j in range(N_MINHASH):
-        a, b = perm_params(j)
-        sig = sig.withColumn(
-            f"mh{j}", F.array_min(F.transform("shd", _perm(a, b))))
-    return (sig.select(
-        "doc_id", "shd",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[
-                    F.col(f"mh{b * rows + r}").cast("string")
-                    for r in range(rows)]).alias("bucket"))
-            for b in range(N_BANDS)])).alias("bb"))
-        .select("doc_id", "bb.band", "bb.bucket", "shd"))
+    sig = with_minhash_cols(
+        with_shingle_hashes(docs, text_col)
+        .select("doc_id", F.array_distinct("sh").alias("shd")))
+    return banded_keys(sig, "doc_id", "shd")
 
 
 def incremental_near_duplicates(index: DataFrame, new_docs: DataFrame,
@@ -474,27 +474,39 @@ def incremental_near_duplicates(index: DataFrame, new_docs: DataFrame,
                                 min_jaccard: float = 0.5) -> DataFrame:
     """Incremental crawl dedup: flag NEW documents that are near-dups
     of the indexed corpus (new_doc_id, dup_of, jaccard). The new batch
-    is banded exactly like the index and equi-joined on (band, bucket);
-    only bucket-colliding pairs rerank with exact hashed-shingle
-    jaccard. Shuffle carries the new batch (small) against the
-    matching index buckets — never the historical corpus text.
-
-    A doc colliding with the same historical doc in several bands
-    collapses to one row (max-jaccard groupBy on the pair)."""
-    new_idx = lsh_index(new_docs, text_col)
-    joined = (new_idx.alias("n")
-              .join(index.alias("i"), on=["band", "bucket"])
-              .where(F.col("n.doc_id") != F.col("i.doc_id"))
-              .select(F.col("n.doc_id").alias("new_doc_id"),
-                      F.col("i.doc_id").alias("dup_of"),
-                      F.col("n.shd").alias("sh_n"),
-                      F.col("i.shd").alias("sh_i"))
-              .dropDuplicates(["new_doc_id", "dup_of"]))
+    is banded exactly like the index (banded_keys is the single bucket
+    encoding) and equi-joined on (band, bucket); only bucket-colliding
+    pairs rerank with exact hashed-shingle jaccard. The bucket join and
+    the pair dedup shuffle NARROW (id, band, bucket) rows only — the
+    shingle arrays re-attach to the few surviving distinct pairs
+    afterwards (same discipline as lsh_candidate_pairs), never riding
+    the join once per band; historical TEXT is never touched at all."""
+    new_base = (with_shingle_hashes(new_docs, text_col)
+                .select("doc_id", F.array_distinct("sh").alias("shd"))
+                .persist())
+    new_banded = banded_keys(with_minhash_cols(new_base), "doc_id")
+    pairs = (new_banded.alias("n")
+             .join(index.select("doc_id", "band", "bucket").alias("i"),
+                   on=["band", "bucket"])
+             .where(F.col("n.doc_id") != F.col("i.doc_id"))
+             .select(F.col("n.doc_id").alias("new_doc_id"),
+                     F.col("i.doc_id").alias("dup_of"))
+             .distinct())
+    idx_sh = (index.select(F.col("doc_id").alias("dup_of"),
+                           F.col("shd").alias("sh_i"))
+              .dropDuplicates(["dup_of"]))
+    joined = (pairs
+              .join(new_base.select(F.col("doc_id").alias("new_doc_id"),
+                                    F.col("shd").alias("sh_n")),
+                    "new_doc_id")
+              .join(idx_sh, "dup_of"))
     inter = F.size(F.array_intersect("sh_n", "sh_i"))
     union = F.size("sh_n") + F.size("sh_i") - inter
-    return (joined.select("new_doc_id", "dup_of",
-                          F.round(inter / union, 6).alias("jaccard"))
-            .where(F.col("jaccard") >= min_jaccard))
+    result = (joined.select("new_doc_id", "dup_of",
+                            F.round(inter / union, 6).alias("jaccard"))
+              .where(F.col("jaccard") >= min_jaccard))
+    result.lsh_persisted_base = new_base  # same contract as lsh pairs
+    return result
 
 
 # kept for callers that want raw shingle hash arrays

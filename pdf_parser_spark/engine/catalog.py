@@ -54,6 +54,27 @@ def _manifest(table_dir: str, snapshot_id: str) -> dict:
         f"snapshot {snapshot_id!r} not found in {table_dir}")
 
 
+def _merge_schema(parent: dict, new: dict) -> dict:
+    """Append-time schema evolution: parent columns keep their place and
+    TYPE (a type change would make old data files unreadable under the
+    pinned schema — refused loudly, like Iceberg without an explicit
+    DDL); columns the append doesn't carry stay in the schema (its
+    files just surface NULL for them on read); genuinely new columns
+    are added at the end."""
+    out = {**parent, "fields": list(parent["fields"])}
+    by_name = {f["name"]: f for f in parent["fields"]}
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            out["fields"].append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema evolution: column {f['name']!r} type change "
+                f"{old['type']!r} -> {f['type']!r} would break reads of "
+                f"existing data files; use overwrite for a retype")
+    return out
+
+
 def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     """Write df as a new snapshot; returns the new snapshot id."""
     assert mode in ("append", "overwrite")
@@ -84,6 +105,11 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
 
     sdir = os.path.join(table_dir, "snapshots")
     os.makedirs(sdir, exist_ok=True)
+    schema = json.loads(df.schema.json())
+    if parent_id is not None:
+        parent_schema = _manifest(table_dir, parent_id).get("schema")
+        if parent_schema is not None:
+            schema = _merge_schema(parent_schema, schema)
     manifest = {
         "snapshot_id": snap_id,
         "sequence": seq,
@@ -92,9 +118,11 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
         "files": parent_files + new_files,
         # the snapshot's CURRENT schema (Iceberg: schema rides the
         # metadata, not the data files) — an append with new columns
-        # evolves the table schema; readers pin this and old files
-        # surface NULL for columns they predate
-        "schema": json.loads(df.schema.json()),
+        # evolves the table schema by UNION with the parent's (see
+        # _merge_schema; silently narrowing or retyping is refused);
+        # readers pin this and files surface NULL for columns they
+        # predate
+        "schema": schema,
     }
     tmp = os.path.join(sdir, f".tmp-{snap_id}")
     with open(tmp, "w") as f:

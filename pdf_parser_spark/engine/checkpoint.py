@@ -25,6 +25,40 @@ from pyspark.sql import functions as F
 from . import job, partitioning
 
 
+# Partition-layout identity. part_id values are a pure function of the
+# data ONLY within one layout generation — if the assignment rule
+# changes (as it did in round 4: dedicated salt range -> full-range
+# seeded stream), a manifest written under the old rule must NOT be
+# resumed under the new one: recomputed part_ids would silently skip
+# docs that moved into already-committed partitions. The layout id is
+# recorded next to the manifest and checked on resume.
+LAYOUT_HASH = "v2-fullrange-salt"
+LAYOUT_RR = "v2-roundrobin-big"
+
+
+def _layout_path(root: str) -> str:
+    return os.path.join(root, "_layout")
+
+
+def _check_layout(root: str, layout: str) -> None:
+    path = _layout_path(root)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read().strip()
+        if existing != layout:
+            raise ValueError(
+                f"checkpoint at {root} was written under partition "
+                f"layout {existing!r}, current run uses {layout!r} — "
+                f"resuming would recompute part_ids under a different "
+                f"rule and silently skip or duplicate documents; start "
+                f"a fresh --out/--snapshot (or rerun with the original "
+                f"layout)")
+        return
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        f.write(layout)
+
+
 def _manifest_path(root: str) -> str:
     return os.path.join(root, "manifest")
 
@@ -70,6 +104,7 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
     # birthday bound — measured 1.7-2.8x straggler win in
     # tools/skew_bench.py); costs a window over the big subset, so it's
     # opt-in for corpora whose tail is heavy enough to matter
+    _check_layout(root, LAYOUT_RR if spread_big else LAYOUT_HASH)
     if spread_big:
         keyed = partitioning.spread_oversized(pages.select(*cols),
                                               n_partitions)

@@ -60,9 +60,12 @@ EXTRACTED_SPANS_SCHEMA = StructType(
 
 
 def _passwords(pdf: pd.DataFrame) -> pd.Series:
-    """Optional per-document password column (empty/NaN -> None)."""
+    """Optional per-document password column (empty/NaN/non-string ->
+    None; NaN is truthy, so a plain falsy check would pass a float to
+    the PDF parser and crash the executor instead of degrading)."""
     if "password" in pdf.columns:
-        return pdf["password"].map(lambda p: p if p else None)
+        return pdf["password"].map(
+            lambda p: p if isinstance(p, str) and p else None)
     return pd.Series([None] * len(pdf))
 
 

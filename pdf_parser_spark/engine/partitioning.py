@@ -69,9 +69,13 @@ def spread_oversized(df: DataFrame, n_partitions: int,
 
     Cost: one window over ONLY the big rows (rare by the big_bytes
     premise; the window is single-partition, so use this when the big
-    count per job is bounded — e.g. per checkpoint chunk). part_id
-    remains a pure property of the data (the set of big urls), so the
-    checkpoint manifest stays resumable."""
+    count per job is bounded — e.g. per checkpoint chunk). The ranked
+    frame is a NARROW (url, part_id) projection joined back by url, so
+    the multi-MB payloads never ride the single-partition rank shuffle
+    (ranking the full rows would funnel every oversized payload through
+    one task — the exact straggler/OOM this function exists to avoid).
+    part_id remains a pure property of the data (the set of big urls),
+    so the checkpoint manifest stays resumable."""
     from pyspark.sql import Window
 
     is_big = F.length(F.col(size_col)) > F.lit(big_bytes)
@@ -79,10 +83,13 @@ def spread_oversized(df: DataFrame, n_partitions: int,
         "part_id",
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_partitions)).cast("int"))
     w = Window.orderBy(F.xxhash64(F.col(url_col)), F.col(url_col))
-    big = df.where(is_big).withColumn(
-        "part_id",
-        F.pmod(F.row_number().over(w) - 1, F.lit(n_partitions)).cast("int"))
-    return small.unionByName(big)
+    big_ids = (df.where(is_big).select(url_col)
+               .withColumn(
+                   "part_id",
+                   F.pmod(F.row_number().over(w) - 1,
+                          F.lit(n_partitions)).cast("int")))
+    big = df.where(is_big).join(big_ids, url_col)
+    return small.unionByName(big.select(*small.columns))
 
 
 def repartition_for_extract(df: DataFrame, n_partitions: int,

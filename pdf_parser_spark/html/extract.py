@@ -333,8 +333,11 @@ def extract_html(data: bytes, fast: bool = True) -> dict:
                 title = _WS_RE.sub(
                     " ", "".join(c.text for c in ch.children if c.tag == "")
                 ).strip()
-            if ch.tag == "html":
-                lang = (ch.attrs or {}).get("lang", "") or lang
+            if ch.tag == "html" and not lang:
+                # FIRST html element's lang wins (the document root —
+                # matches reading the root attribute; also what makes
+                # the early exit below semantics-preserving)
+                lang = (ch.attrs or {}).get("lang", "")
             if title and lang:
                 return  # both live near the top; stop walking the body
             if ch.tag:

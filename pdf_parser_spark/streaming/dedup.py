@@ -141,21 +141,14 @@ def near_dedup_stream(docs: DataFrame) -> DataFrame:
     ``select('doc_id','dup_of').distinct()`` (or a downstream exact
     rerank, as in the batch pipeline) collapses them. State is
     graph-bucket-sized and capped per bucket (_MAX_BUCKET_STATE)."""
-    from ..analytics.dedup import N_BANDS, N_MINHASH, with_minhash
+    from ..analytics.dedup import N_MINHASH, banded_keys, with_minhash
 
     sig = with_minhash(docs).withColumn(
         "sig", F.array(*[F.col(f"mh{j}") for j in range(N_MINHASH)]))
-    rows_per_band = N_MINHASH // N_BANDS
-    banded = sig.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[
-                    F.col(f"mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)]).alias("bucket"))
-            for b in range(N_BANDS)])).alias("bb")) \
-        .select("doc_id", "sig", "bb.band", "bb.bucket")
+    # banded_keys = the single bucket encoding shared with the batch
+    # operator and the persistable index (bucket-compatibility matters:
+    # a stream can warm-start from batch state)
+    banded = banded_keys(sig, "doc_id", "sig")
     return (banded
             .groupBy("band", "bucket")
             .applyInPandasWithState(

@@ -128,3 +128,28 @@ def test_schema_evolution_add_column(spark, tmp_path):
     # rollback restores the pre-evolution schema
     catalog.rollback(tdir, s1)
     assert set(catalog.read_snapshot(spark, tdir).columns) == {"id", "name"}
+
+
+def test_schema_evolution_guards(spark, tmp_path):
+    """Appends cannot silently narrow or retype the table: a column the
+    append lacks STAYS in the schema (its new files read back NULL),
+    and a type change is refused loudly."""
+    import pytest
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "guard_tbl")
+    catalog.commit(
+        spark.createDataFrame([(1, "a")], "id long, name string"),
+        tdir, "append")
+    # narrowing append: name column survives; new row reads NULL name
+    catalog.commit(spark.createDataFrame([(2,)], "id long"),
+                   tdir, "append")
+    cur = catalog.read_snapshot(spark, tdir)
+    assert set(cur.columns) == {"id", "name"}
+    assert {r.id: r.name for r in cur.collect()} == {1: "a", 2: None}
+    # retype is refused (old files would be unreadable under the pin)
+    with pytest.raises(ValueError, match="type change"):
+        catalog.commit(
+            spark.createDataFrame([("3", "c")], "id string, name string"),
+            tdir, "append")

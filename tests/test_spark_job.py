@@ -216,3 +216,26 @@ def test_resume_after_mid_chunk_kill(spark, tmp_path):
     lin = spark.read.parquet(f"{root}/lineage")
     dup = lin.groupBy("part_id").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_checkpoint_refuses_foreign_partition_layout(spark, tmp_path):
+    """A manifest written under one part_id layout must not resume under
+    another — recomputed part_ids would silently skip documents that
+    moved into already-committed partitions."""
+    import pytest
+
+    from pdf_parser_spark.engine import checkpoint, source
+    from tests.conftest import SF0001
+
+    root = str(tmp_path / "layout_ck")
+    pages = source.pages_table(spark, SF0001, n_partitions=4)
+    checkpoint.run_checkpointed(spark, pages, root, "s1", n_partitions=4,
+                                chunk_size=2, fail_after_chunks=1)
+    with pytest.raises(ValueError, match="partition layout"):
+        checkpoint.run_checkpointed(spark, pages, root, "s1",
+                                    n_partitions=4, chunk_size=2,
+                                    spread_big=True)
+    # same layout resumes fine
+    checkpoint.run_checkpointed(spark, pages, root, "s1", n_partitions=4,
+                                chunk_size=2)
+    assert len(checkpoint.completed_partitions(spark, root, "s1")) == 4
