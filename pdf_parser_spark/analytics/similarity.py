@@ -79,8 +79,12 @@ def with_cosine(df: DataFrame, a: str, b: str,
         ma = np.array(list(ca), dtype=np.float64)
         mb = np.array(list(cb), dtype=np.float64)
         dots = np.einsum("ij,ij->i", ma, mb)
-        na = np.sqrt(np.einsum("ij,ij->i", ma, ma))
-        nb = np.sqrt(np.einsum("ij,ij->i", mb, mb))
+        # zero-norm clamp: a NaN cosine would sort ABOVE every real
+        # score under Spark's desc ordering (NaN > any double) and
+        # surface a zero vector as a rank-1 neighbor — same guard as
+        # the block-GEMM and semantic-tile kernels
+        na = np.maximum(np.sqrt(np.einsum("ij,ij->i", ma, ma)), 1e-300)
+        nb = np.maximum(np.sqrt(np.einsum("ij,ij->i", mb, mb)), 1e-300)
         return pd.Series(dots / (na * nb))
 
     # deterministic in fact; the marker stops Catalyst from CLONING the
@@ -142,7 +146,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
                               MAX_QUERY_ROWS, "brute_force_topk queries")
     q_ids = np.array([int(r.q_id) for r in q_rows], dtype=np.int64)
     q_mat = np.array([r.q_emb for r in q_rows], dtype=np.float64)
-    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_norm = np.maximum(np.sqrt((q_mat * q_mat).sum(axis=1)), 1e-300)
 
     def kernel(batches):
         cand: dict[int, list] = {int(q): [] for q in q_ids}
@@ -151,7 +155,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            norms = np.sqrt((mat * mat).sum(axis=1))
+            norms = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-300)
             cos = (mat @ q_mat.T) / (norms[:, None] * q_norm[None, :])
             for qi, q in enumerate(q_ids):
                 col = cos[:, qi]
@@ -438,14 +442,14 @@ def _with_cos_array(df: DataFrame, emb_col: str,
     from pyspark.sql.types import ArrayType, DoubleType
 
     cmat = np.array([vec for _, vec in cents], dtype=np.float64)
-    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm = np.maximum(np.sqrt((cmat * cmat).sum(axis=1)), 1e-300)
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def cos_arr(col: pd.Series) -> pd.Series:
         if not len(col):
             return pd.Series([], dtype=object)
         mat = np.array(list(col), dtype=np.float64)
-        en = np.sqrt((mat * mat).sum(axis=1))
+        en = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-300)
         cos = (mat @ cmat.T) / (en[:, None] * cnorm[None, :])
         return pd.Series(list(cos))
 

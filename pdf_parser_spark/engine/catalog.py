@@ -78,6 +78,16 @@ def _merge_schema(parent: dict, new: dict) -> dict:
 def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     """Write df as a new snapshot; returns the new snapshot id."""
     assert mode in ("append", "overwrite")
+    # schema compatibility is decidable from metadata alone — check it
+    # BEFORE the staging write, or a refused append permanently orphans
+    # a full copy of the dataset in data/ (no manifest ever points at
+    # the renamed files, and there is no cleanup pass)
+    schema = json.loads(df.schema.json())
+    snaps_pre = _snapshots(table_dir)
+    if mode == "append" and snaps_pre:
+        parent_schema = _manifest(table_dir, snaps_pre[-1][1]).get("schema")
+        if parent_schema is not None:
+            schema = _merge_schema(parent_schema, schema)
     snap_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data")
     staging = os.path.join(table_dir, f"_staging_{snap_id}")
@@ -105,11 +115,6 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
 
     sdir = os.path.join(table_dir, "snapshots")
     os.makedirs(sdir, exist_ok=True)
-    schema = json.loads(df.schema.json())
-    if parent_id is not None:
-        parent_schema = _manifest(table_dir, parent_id).get("schema")
-        if parent_schema is not None:
-            schema = _merge_schema(parent_schema, schema)
     manifest = {
         "snapshot_id": snap_id,
         "sequence": seq,

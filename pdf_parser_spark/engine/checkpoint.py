@@ -26,14 +26,21 @@ from . import job, partitioning
 
 
 # Partition-layout identity. part_id values are a pure function of the
-# data ONLY within one layout generation — if the assignment rule
-# changes (as it did in round 4: dedicated salt range -> full-range
-# seeded stream), a manifest written under the old rule must NOT be
-# resumed under the new one: recomputed part_ids would silently skip
-# docs that moved into already-committed partitions. The layout id is
-# recorded next to the manifest and checked on resume.
-LAYOUT_HASH = "v2-fullrange-salt"
-LAYOUT_RR = "v2-roundrobin-big"
+# data ONLY within one (rule, n_partitions, big_bytes) generation — if
+# the assignment rule changes (as it did in round 4: dedicated salt
+# range -> full-range seeded stream), OR the same rule runs with a
+# different --partitions / size threshold, a manifest written under the
+# old parameters must NOT be resumed under the new ones: recomputed
+# part_ids would silently skip docs that moved into already-committed
+# partitions. The FULL layout string (rule + parameters) is recorded
+# next to the manifest and checked on resume.
+LAYOUT_HASH = "v3-fullrange-salt"
+LAYOUT_RR = "v3-roundrobin-big"
+
+
+def _layout_id(spread_big: bool, n_partitions: int) -> str:
+    rule = LAYOUT_RR if spread_big else LAYOUT_HASH
+    return f"{rule}/n={n_partitions}/big={partitioning.DEFAULT_BIG_BYTES}"
 
 
 def _layout_path(root: str) -> str:
@@ -104,7 +111,7 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
     # birthday bound — measured 1.7-2.8x straggler win in
     # tools/skew_bench.py); costs a window over the big subset, so it's
     # opt-in for corpora whose tail is heavy enough to matter
-    _check_layout(root, LAYOUT_RR if spread_big else LAYOUT_HASH)
+    _check_layout(root, _layout_id(spread_big, n_partitions))
     if spread_big:
         keyed = partitioning.spread_oversized(pages.select(*cols),
                                               n_partitions)
@@ -117,53 +124,84 @@ def run_checkpointed(spark: SparkSession, pages: DataFrame, root: str,
     chunks = [todo[i : i + chunk_size]
               for i in range(0, len(todo), chunk_size)]
 
-    for ci, chunk in enumerate(chunks):
-        if fail_after_chunks is not None and ci >= fail_after_chunks:
-            return  # simulated kill: manifest rows for this chunk not written
-        subset = keyed.filter(F.col("part_id").isin(chunk))
-        # spread the chunk across the whole cluster, not len(chunk) tasks
-        shuffled = partitioning.repartition_for_extract(
-            subset, max(len(chunk),
-                        spark.sparkContext.defaultParallelism))
-        extracted = shuffled.mapInPandas(job._extract_batches,
-                                         job.EXTRACTED_SCHEMA)
-        # One pass over the data: cache the chunk output, derive lineage
-        # from it, then release.
-        extracted = extracted.cache()
-        try:
-            # DYNAMIC partition overwrite makes the chunk write idempotent:
-            # a job killed after writing data but before the manifest row
-            # leaves partial part_id dirs; the resume re-runs the chunk and
-            # REPLACES exactly those partitions instead of appending
-            # duplicates next to them. Set per-write (not on the shared
-            # session) so unrelated overwrites keep their own semantics.
-            (extracted.write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("part_id")
-             .parquet(os.path.join(root, "data")))
-            (job.lineage(extracted)
-             .withColumn("snapshot_id", F.lit(snapshot_id))
-             .write.mode("overwrite")
-             .option("partitionOverwriteMode", "dynamic")
-             .partitionBy("part_id")   # idempotent per-partition, as above
-             .parquet(os.path.join(root, "lineage")))
-        finally:
-            extracted.unpersist()
-        # manifest LAST = commit point
-        (spark.createDataFrame([(snapshot_id, int(p)) for p in chunk],
-                               "snapshot_id string, part_id int")
-         .write.mode("append").parquet(_manifest_path(root)))
+    # One source pass, not one per chunk: part_id is a computed hash, so
+    # the per-chunk filter cannot prune the scan — without this persist
+    # a C-chunk run re-reads (and re-synthesizes) the WHOLE input C
+    # times. MEMORY_AND_DISK fits the sandbox; on a 100 TB table you
+    # disable this and get chunk-pruned scans by bucketing the SOURCE
+    # on the same key (Iceberg bucket(url) partitioning) instead.
+    from pyspark import StorageLevel
+
+    cache_source = len(chunks) > 1
+    if cache_source:
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for ci, chunk in enumerate(chunks):
+            if fail_after_chunks is not None and ci >= fail_after_chunks:
+                return  # simulated kill: this chunk's manifest not written
+            subset = keyed.filter(F.col("part_id").isin(chunk))
+            # spread the chunk across the whole cluster, not len(chunk)
+            # tasks
+            shuffled = partitioning.repartition_for_extract(
+                subset, max(len(chunk),
+                            spark.sparkContext.defaultParallelism))
+            extracted = shuffled.mapInPandas(job._extract_batches,
+                                             job.EXTRACTED_SCHEMA)
+            # One pass over the data: cache the chunk output, derive
+            # lineage from it, then release.
+            extracted = extracted.withColumn(
+                "snapshot_id", F.lit(snapshot_id)).cache()
+            try:
+                # DYNAMIC partition overwrite + (snapshot_id, part_id)
+                # dirs make the chunk write idempotent AND
+                # snapshot-isolated: a job killed after writing data but
+                # before the manifest row leaves partial dirs; the
+                # resume re-runs the chunk and REPLACES exactly those
+                # (snapshot, partition) dirs — never appending
+                # duplicates next to them and never clobbering ANOTHER
+                # snapshot's data sharing the root. Set per-write (not
+                # on the shared session) so unrelated overwrites keep
+                # their own semantics.
+                (extracted.write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("snapshot_id", "part_id")
+                 .parquet(os.path.join(root, "data")))
+                (job.lineage(extracted.drop("snapshot_id"))
+                 .withColumn("snapshot_id", F.lit(snapshot_id))
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("snapshot_id", "part_id")  # as above
+                 .parquet(os.path.join(root, "lineage")))
+            finally:
+                extracted.unpersist()
+            # manifest LAST = commit point
+            (spark.createDataFrame([(snapshot_id, int(p)) for p in chunk],
+                                   "snapshot_id string, part_id int")
+             .write.mode("append").parquet(_manifest_path(root)))
+    finally:
+        if cache_source:
+            keyed.unpersist()
 
 
 def read_committed(spark: SparkSession, root: str,
                    snapshot_id: str) -> DataFrame:
-    """Snapshot-isolated read: only data whose partition is in the
-    manifest for this snapshot (uncommitted files from a killed chunk are
-    invisible)."""
+    """Snapshot-isolated read: only this snapshot's data dirs, and only
+    partitions present in its manifest (uncommitted files from a killed
+    chunk are invisible; other snapshots sharing the root are never
+    touched)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    empty_schema = StructType(
+        [StructField("snapshot_id", StringType()),
+         *job.EXTRACTED_SCHEMA.fields])
     m = read_manifest(spark, root)
-    data = spark.read.parquet(os.path.join(root, "data"))
-    if m is None:
-        return data.limit(0)
+    data_dir = os.path.join(root, "data")
+    if m is None or not os.path.isdir(data_dir):
+        # nothing committed yet (e.g. killed before the first chunk's
+        # data write) — an empty frame, not a PATH_NOT_FOUND error
+        return spark.createDataFrame([], empty_schema)
+    data = (spark.read.parquet(data_dir)
+            .where(F.col("snapshot_id") == snapshot_id))
     done = (m.filter(F.col("snapshot_id") == snapshot_id)
              .select("part_id").distinct())
     return data.join(F.broadcast(done), "part_id", "inner")

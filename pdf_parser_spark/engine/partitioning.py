@@ -83,7 +83,10 @@ def spread_oversized(df: DataFrame, n_partitions: int,
         "part_id",
         F.pmod(F.xxhash64(F.col(url_col)), F.lit(n_partitions)).cast("int"))
     w = Window.orderBy(F.xxhash64(F.col(url_col)), F.col(url_col))
-    big_ids = (df.where(is_big).select(url_col)
+    # rank DISTINCT urls (a re-crawled url captured twice must not
+    # fan out through the join — one rank per url, each occurrence
+    # shares the part_id, and the join back stays row-preserving)
+    big_ids = (df.where(is_big).select(url_col).distinct()
                .withColumn(
                    "part_id",
                    F.pmod(F.row_number().over(w) - 1,

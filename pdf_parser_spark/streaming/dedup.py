@@ -3,14 +3,15 @@ across micro-batches via ``applyInPandasWithState`` (no built-in Spark
 operator expresses cross-batch first-wins dedup with bounded state —
 dropDuplicates on a stream keeps unbounded state with no count/lineage).
 
-State per content hash: (canonical_doc_id, n_copies_seen). The first
-arrival in stream order (ties within a batch: lowest doc_id, matching
-the batch operator's min(doc_id) canonicalization) is emitted as the
-canonical row; later copies only bump the state counter, emitting a
-zero-row delta — downstream consumers see exactly one row per distinct
-content.
+State per content hash: the canonical_doc_id. The first arrival in
+stream order (ties within a batch: lowest doc_id, matching the batch
+operator's min(doc_id) canonicalization) is emitted as the canonical
+row; later copies emit nothing and leave state untouched — append-mode
+output can't revise a row, so a running copy-counter would be
+write-only state (the batch operator exact_duplicates is the one that
+reports n_copies).
 
-Scale note: state size is one (hash, long, long) entry per DISTINCT
+Scale note: state size is one (hash, long) entry per DISTINCT
 document — the same cardinality a batch groupBy would shuffle; Spark
 partitions state by the group key, so it shards with the cluster. For
 10^12-doc streams, bound the retention with a watermark on arrival time
@@ -33,7 +34,7 @@ DEDUP_SCHEMA = StructType([
     StructField("canonical_doc_id", LongType()),
 ])
 
-_STATE_SCHEMA = "canonical LONG, n_copies LONG"
+_STATE_SCHEMA = "canonical LONG"
 
 
 def _first_wins(key, batches: Iterable[pd.DataFrame], state: GroupState):
@@ -43,12 +44,10 @@ def _first_wins(key, batches: Iterable[pd.DataFrame], state: GroupState):
         ids.extend(int(d) for d in pdf["doc_id"])
     if not ids:
         return
-    lo = min(ids)
     if state.exists:
-        canonical, n = state.get
-        state.update((canonical, n + len(ids)))
-        return  # duplicate content: no new canonical row
-    state.update((lo, len(ids)))
+        return  # duplicate content: no new canonical row, no state churn
+    lo = min(ids)
+    state.update((lo,))
     yield pd.DataFrame([{"text_hash": text_hash,
                          "canonical_doc_id": lo}])
 

@@ -30,9 +30,12 @@ def read_pages_stream(spark: SparkSession, input_dir: str,
 
 def extract_stream(pages: DataFrame, n_partitions: int = 32) -> DataFrame:
     """Same kernel, same part_id semantics as the batch job — streaming
-    micro-batches flow through the identical Arrow batches."""
-    keyed = partitioning.with_partition_key(
-        pages.select("url", "html"), n_partitions)
+    micro-batches flow through the identical Arrow batches (including
+    the optional per-document password column, like run_extract)."""
+    cols = ["url", "html"] + (["password"] if "password" in pages.columns
+                              else [])
+    keyed = partitioning.with_partition_key(pages.select(*cols),
+                                            n_partitions)
     return keyed.mapInPandas(job._extract_batches, job.EXTRACTED_SCHEMA)
 
 

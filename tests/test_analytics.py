@@ -864,3 +864,23 @@ def test_lm_quality_separates_reference_like_from_gibberish(spark):
     assert got[1000] < got[2000]
     # every bigram of doc 1000 was seen in the reference -> low NLL
     assert got[1000] < 3.0
+
+
+def test_zero_norm_embedding_never_ranks(spark):
+    """A zero vector in the corpus must not surface as a NaN-cosine
+    rank-1 neighbor (NaN sorts above every real double under desc):
+    clamped norms give it cosine 0.0 everywhere."""
+    import math
+
+    from pdf_parser_spark.analytics import similarity
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 0.0, 0.0]), (3, [0.8, 0.2, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = (emb.where("vec_id = 0")
+               .select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_emb")))
+    got = similarity.brute_force_topk(emb, queries, k=3).collect()
+    assert all(not math.isnan(r.cosine) for r in got)
+    order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
+    assert order[-1] == 2  # the zero vector ranks LAST, not first

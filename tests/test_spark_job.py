@@ -239,3 +239,65 @@ def test_checkpoint_refuses_foreign_partition_layout(spark, tmp_path):
     checkpoint.run_checkpointed(spark, pages, root, "s1", n_partitions=4,
                                 chunk_size=2)
     assert len(checkpoint.completed_partitions(spark, root, "s1")) == 4
+
+
+def test_checkpoint_refuses_different_n_partitions(spark, tmp_path):
+    """Same layout rule, different --partitions: part_id = pmod(hash, n)
+    changes for every doc, so resume must refuse (the layout id encodes
+    the parameters, not just the rule)."""
+    import pytest
+
+    from pdf_parser_spark.engine import checkpoint, source
+    from tests.conftest import SF0001
+
+    root = str(tmp_path / "nparts_ck")
+    pages = source.pages_table(spark, SF0001, n_partitions=4)
+    checkpoint.run_checkpointed(spark, pages, root, "s1", n_partitions=8,
+                                chunk_size=4, fail_after_chunks=1)
+    with pytest.raises(ValueError, match="partition layout"):
+        checkpoint.run_checkpointed(spark, pages, root, "s1",
+                                    n_partitions=16, chunk_size=4)
+
+
+def test_checkpoint_snapshots_share_root_isolated(spark, tmp_path):
+    """Two snapshot_ids on ONE root: the second run must not clobber the
+    first snapshot's data (data dirs are (snapshot_id, part_id)), and
+    each read_committed sees exactly its own snapshot."""
+    from pdf_parser_spark.engine import checkpoint, source
+    from tests.conftest import SF0001
+
+    root = str(tmp_path / "multi_snap")
+    pages = source.pages_table(spark, SF0001, n_partitions=4)
+    checkpoint.run_checkpointed(spark, pages, root, "snapA",
+                                n_partitions=4, chunk_size=4)
+    a_before = checkpoint.read_committed(spark, root, "snapA").count()
+    checkpoint.run_checkpointed(spark, pages, root, "snapB",
+                                n_partitions=4, chunk_size=4)
+    assert checkpoint.read_committed(spark, root, "snapA").count() \
+        == a_before == 500
+    assert checkpoint.read_committed(spark, root, "snapB").count() == 500
+
+
+def test_read_committed_empty_root(spark, tmp_path):
+    """A root with no committed data (killed before the first chunk)
+    reads back as an empty frame, not a PATH_NOT_FOUND error."""
+    from pdf_parser_spark.engine import checkpoint
+
+    root = str(tmp_path / "empty_ck")
+    assert checkpoint.read_committed(spark, root, "s1").count() == 0
+
+
+def test_spread_oversized_duplicate_urls_row_preserving(spark):
+    """A re-crawled url captured twice (both oversized) must not fan out
+    through the rank join-back: one rank per DISTINCT url, both rows
+    kept, same part_id."""
+    from pdf_parser_spark.engine import partitioning
+
+    rows = [("u%d" % i, bytearray(100)) for i in range(20)]
+    rows += [("dup", bytearray(20_000)), ("dup", bytearray(20_000))]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    keyed = partitioning.spread_oversized(df, 8, big_bytes=10_000)
+    assert keyed.count() == 22
+    dup_parts = [r.part_id for r in
+                 keyed.filter("url = 'dup'").collect()]
+    assert len(dup_parts) == 2 and dup_parts[0] == dup_parts[1]

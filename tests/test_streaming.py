@@ -202,3 +202,33 @@ def test_streaming_near_dedup_across_batches(spark, tmp_path):
                             "in this stream of documents")],
                      "b3.parquet")
     assert set(got3.doc_id) == {99}
+
+
+def test_stream_extracts_password_protected_pdfs(spark, tmp_path):
+    """The streaming path plumbs the optional password column exactly
+    like the batch job (it used to strip it, silently failing encrypted
+    PDFs that batch extraction handled)."""
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+    from pdf_parser_spark.streaming.job import extract_stream
+
+    locked = build_pdf([Page(texts=[Text(72, 700, "stream secret")])],
+                       encrypt={"method": "rc4-128", "user_pw": "pw1"})
+    src = str(tmp_path / "pw_in")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame(
+        [("crawl://locked", locked, "pw1")],
+        columns=["url", "html", "password"]).to_parquet(
+        os.path.join(src, "b1.parquet"))
+    stream = (spark.readStream
+              .schema("url string, html binary, password string")
+              .parquet(src))
+    out = str(tmp_path / "pw_out")
+    q = (extract_stream(stream)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "pw_ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0].ok
+    assert "stream secret" in got[0].text
