@@ -62,11 +62,18 @@ def _page_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 continue  # this path is for the PDF heavy-tail only
             try:
                 doc = parse_pdf_document(url, data)
-            except PdfError as e:
+            except PdfError:
                 rows.append({"url": url, "page_number": 1, "n_pages": 0,
                              "page_text": None, "header": "", "footer": "",
                              "n_blocks": 0, "n_tables": 0,
                              "error_kind": "PDFLoadError"})
+                continue
+            except Exception:  # never abort the batch (E3 semantics,
+                # same contract as extract_document's InternalError row)
+                rows.append({"url": url, "page_number": 1, "n_pages": 0,
+                             "page_text": None, "header": "", "footer": "",
+                             "n_blocks": 0, "n_tables": 0,
+                             "error_kind": "InternalError"})
                 continue
             for page in doc.pages:
                 items = formatter._collect_page_content(page)

@@ -88,6 +88,10 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(
     r"([a-zA-Z_:][a-zA-Z0-9_:.-]*)\s*(?:=\s*(\"[^\"]*\"|'[^']*'|[^\s\"'>]*))?")
 _RAWTEXT = {"script", "style"}
+# close tags are case-insensitive (</SCRIPT> is valid HTML; a
+# case-sensitive find would miss it and silently drop the whole rest
+# of the document at the raw-text skip)
+_RAW_CLOSE = {t: re.compile("</" + t, re.I) for t in _RAWTEXT}
 _ATTR_TAGS = {"td", "th", "html"}  # the only tags whose attrs are read
 
 
@@ -143,11 +147,11 @@ def _fast_tree(html_str: str) -> _Node:
         if selfclose or tag in _VOID:
             continue
         if tag in _RAWTEXT:
-            end = html_str.find(f"</{tag}", pos)
-            if end < 0:
+            cm = _RAW_CLOSE[tag].search(html_str, pos)
+            if cm is None:
                 break  # unterminated raw text: drop the rest
             # raw text content intentionally not added (drop_tags anyway)
-            gt = html_str.find(">", end)
+            gt = html_str.find(">", cm.start())
             pos = n if gt < 0 else gt + 1
             continue
         stack.append(node)
@@ -155,19 +159,23 @@ def _fast_tree(html_str: str) -> _Node:
 
 
 def _texts(node: _Node, in_anchor: bool,
-           out: list[tuple[str, bool]]) -> None:
+           out: list[tuple[str, bool]],
+           enter_blocks: bool = False) -> None:
     """Collect (text, is_link_text) pairs below ``node``, skipping
-    dropped subtrees and nested block elements (those form their own
-    candidate blocks)."""
+    dropped subtrees and — by default — nested block elements (those
+    form their own candidate blocks). ``enter_blocks=True`` descends
+    into them too: table CELLS use it, because ``<td><p>text</p></td>``
+    is everyday markup and the cell's paragraph never becomes a
+    standalone block (_walk_blocks doesn't recurse into tables)."""
     for ch in node.children:
         if ch.tag == "":
             out.append((ch.text, in_anchor))
         elif ch.tag in HTML.drop_tags:
             continue
-        elif ch.tag in HTML.block_tags:
+        elif ch.tag in HTML.block_tags and not enter_blocks:
             continue  # handled as its own block
         else:
-            _texts(ch, in_anchor or ch.tag == "a", out)
+            _texts(ch, in_anchor or ch.tag == "a", out, enter_blocks)
 
 
 def _span_attr(node: _Node, name: str) -> int:
@@ -198,7 +206,7 @@ def _table_to_ascii(table_node: _Node) -> str:
                 for cc in ch.children:
                     if cc.tag in ("td", "th"):
                         pieces: list[tuple[str, bool]] = []
-                        _texts(cc, False, pieces)
+                        _texts(cc, False, pieces, enter_blocks=True)
                         txt = _WS_RE.sub(
                             " ", "".join(p for p, _ in pieces)).strip()
                         cells.append((cc.tag, txt,

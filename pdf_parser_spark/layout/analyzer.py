@@ -53,7 +53,10 @@ def analyze_page(page: PdfPage, text_tables: bool = False) -> PageIR:
         try:
             # detect over PRE-column-split raw lines (wide table rows get
             # split by the boundary logic otherwise), like pdfplumber's
-            # word-based strategy
+            # word-based strategy. NOT equivalent to bare
+            # spans_to_lines: the block pass also (y0,x0)-sorts and
+            # drops lines living in empty-only blocks (P2) — the
+            # detector must see the same line set the text path uses.
             raw_lines = [ln for b in extract_raw_blocks(spans_ir)
                          for ln in b.lines]
             cand = tables_mod.detect_text_tables(raw_lines, page.height)

@@ -86,12 +86,34 @@ def _find_lattices(segments: list[Segment]) -> list[tuple[list[float], list[floa
         return not (ax1 + tol < bx0 or bx1 + tol < ax0
                     or ay1 + tol < by0 or by1 + tol < ay0)
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            if touch(segs[i], segs[j]):
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[ri] = rj
+    # spatial-hash the tol-expanded bboxes and compare only bucket
+    # cohabitants: all-pairs touch() was O(n^2) in the executor UDF hot
+    # path, which a rule-dense page (large ruled grids emit 4 segments
+    # per 're') turns into minutes of Python per document. Genuine
+    # crossings still pay one check each — that cost IS the lattice.
+    cell = max(tol * 8, 16.0)
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, s in enumerate(segs):
+        x0, x1 = sorted((s.x0, s.x1))
+        y0, y1 = sorted((s.y0, s.y1))
+        for cx in range(int((x0 - tol) // cell), int((x1 + tol) // cell) + 1):
+            for cy in range(int((y0 - tol) // cell),
+                            int((y1 + tol) // cell) + 1):
+                buckets.setdefault((cx, cy), []).append(i)
+    checked: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        for a in range(len(members)):
+            i = members[a]
+            for b in range(a + 1, len(members)):
+                j = members[b]
+                pair = (i, j) if i < j else (j, i)
+                if pair in checked:
+                    continue
+                checked.add(pair)
+                if touch(segs[i], segs[j]):
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[ri] = rj
 
     comps: dict[int, tuple[list[Segment], list[Segment]]] = {}
     for i, s in enumerate(segs):

@@ -55,8 +55,11 @@ FONTS: dict[str, tuple[np.ndarray, float, float]] = {
     "Courier": (_COURIER, 0.629, -0.157),
     "Courier-Bold": (_COURIER, 0.629, -0.157),
     "Courier-Oblique": (_COURIER, 0.629, -0.157),
+    "Courier-BoldOblique": (_COURIER, 0.629, -0.157),
     "Times-Roman": (_width_array(_HELV), 0.683, -0.217),  # proxy widths
     "Times-Bold": (_width_array(_HELV_BOLD), 0.683, -0.217),
+    "Times-Italic": (_width_array(_HELV), 0.683, -0.217),
+    "Times-BoldItalic": (_width_array(_HELV_BOLD), 0.683, -0.217),
 }
 
 _DEFAULT = FONTS["Helvetica"]

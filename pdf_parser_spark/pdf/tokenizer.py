@@ -499,22 +499,43 @@ class _Doc:
         return val
 
     def _parse_xref(self) -> dict[int, int] | None:
-        """Classic xref table: startxref offset -> 'xref' subsections.
-        Returns object-number -> offset-AFTER-'obj' map, or None."""
+        """Classic xref table: startxref offset -> 'xref' subsections,
+        following the trailer /Prev chain through incremental updates
+        (newest section wins per object — an updated doc's old sections
+        hold the UNCHANGED objects, so skipping the chain loses them).
+        The LAST startxref in the file is the live one (§7.5.5; a small
+        incremental update can leave the previous one inside the tail
+        window too). Returns object-number -> offset-AFTER-'obj' map,
+        or None."""
         tail = self.data[-256:]
-        m = re.search(rb"startxref\s+(\d+)", tail)
-        if not m:
+        starts = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not starts:
             return None
         try:
-            pos = int(m.group(1))
+            pos = int(starts[-1].group(1))
         except ValueError:
             return None
-        if pos <= 0 or pos >= len(self.data):
-            return None
-        if self.data[pos : pos + 4] != b"xref":
-            return None  # xref stream (PDF 1.5+) or damage: fall back
         objs: dict[int, int] = {}
-        i = pos + 4
+        seen: set[int] = set()
+        while pos and pos not in seen and 0 < pos < len(self.data):
+            seen.add(pos)
+            if self.data[pos : pos + 4] != b"xref":
+                # xref stream (PDF 1.5+) or damage: fall back (a mixed
+                # classic/stream chain is handled by _parse_xref_stream)
+                return None
+            section, prev = self._parse_xref_section(pos + 4)
+            if section is None:
+                return None
+            for num, off in section.items():
+                objs.setdefault(num, off)  # newer section wins
+            pos = prev
+        return objs or None
+
+    def _parse_xref_section(self,
+                            i: int) -> tuple[dict[int, int] | None, int]:
+        """One classic xref section starting after the 'xref' keyword:
+        returns (entries, /Prev offset or 0); (None, 0) on damage."""
+        objs: dict[int, int] = {}
         while True:
             m = re.match(rb"\s*(\d+)\s+(\d+)\s*", self.data[i : i + 40])
             if not m:
@@ -524,26 +545,35 @@ class _Doc:
             for k in range(count):
                 e = _XREF_ENTRY_RE.match(self.data, i)
                 if not e:
-                    return None  # malformed entry: distrust whole table
+                    return None, 0  # malformed entry: distrust table
                 i += 20
                 if e.group(3) == b"n":
                     off = int(e.group(1))
                     om = _OBJ_RE.match(self.data, off)
                     if om is None or int(om.group(1)) != start + k:
-                        return None  # stale offset: fall back to scan
+                        return None, 0  # stale offset: fall back to scan
                     objs[start + k] = om.end()
-        return objs or None
+        prev = 0
+        tm = re.match(rb"\s*trailer\s*", self.data[i : i + 40])
+        if tm:
+            try:
+                td = _Lexer(self.data, i + tm.end()).parse()
+            except PdfError:
+                td = None
+            if isinstance(td, dict) and isinstance(td.get("Prev"), int):
+                prev = td["Prev"]
+        return objs, prev
 
     def _parse_xref_stream(self) -> dict[int, int] | None:
         """PDF 1.5+ cross-reference STREAM (/Type /XRef): binary entry
         rows of /W-sized fields; type-2 entries point into /Type /ObjStm
         object streams. Follows /Prev chains."""
         tail = self.data[-256:]
-        m = re.search(rb"startxref\s+(\d+)", tail)
-        if not m:
+        starts = list(re.finditer(rb"startxref\s+(\d+)", tail))
+        if not starts:
             return None
         objs: dict[int, int] = {}
-        pos = int(m.group(1))
+        pos = int(starts[-1].group(1))  # the LAST startxref is live
         seen: set[int] = set()
         while pos and pos not in seen and 0 < pos < len(self.data):
             seen.add(pos)
@@ -769,6 +799,10 @@ _BFCHAR_RE = re.compile(
 _BFRANGE_RE = re.compile(
     rb"beginbfrange(.*?)endbfrange", re.S)
 _HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+# bfrange body tokenizer: hex string, '[' or ']' (the array-destination
+# form 'lo hi [d1 d2 ...]' needs real parsing — flat zip-by-3 misaligns
+# every range after the first array)
+_BFTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 
 
 def _parse_tounicode(cmap: bytes) -> dict[int, str]:
@@ -790,13 +824,35 @@ def _parse_tounicode(cmap: bytes) -> dict[int, str]:
         for src, dst in zip(pairs[0::2], pairs[1::2]):
             out[int(src, 16)] = _dst(dst)
     for m in _BFRANGE_RE.finditer(cmap):
-        trips = _HEXPAIR_RE.findall(m.group(1))
-        for lo, hi, dst in zip(trips[0::3], trips[1::3], trips[2::3]):
+        toks = [(t.group(1), t.group(2) is not None, t.group(3) is not None)
+                for t in _BFTOK_RE.finditer(m.group(1))]
+        j = 0
+        n_toks = len(toks)
+        while j + 1 < n_toks:
+            lo, hi = toks[j][0], toks[j + 1][0]
+            if lo is None or hi is None:
+                j += 1  # desynced (stray bracket): resync forward
+                continue
+            j += 2
             lo_i, hi_i = int(lo, 16), int(hi, 16)
-            base = int(dst, 16)
-            width = len(dst)
-            for c in range(lo_i, min(hi_i, lo_i + 255) + 1):
-                out[c] = _dst(b"%0*X" % (width, base + (c - lo_i)))
+            if j < n_toks and toks[j][1]:  # '[': one dst per code
+                j += 1
+                k = 0
+                while j < n_toks and not toks[j][2]:
+                    if toks[j][0] is not None and k <= 255:
+                        out[lo_i + k] = _dst(toks[j][0])
+                        k += 1
+                    j += 1
+                j += 1  # skip ']'
+            elif j < n_toks and toks[j][0] is not None:
+                dst = toks[j][0]
+                j += 1
+                base = int(dst, 16)
+                width = len(dst)
+                for c in range(lo_i, min(hi_i, lo_i + 255) + 1):
+                    out[c] = _dst(b"%0*X" % (width, base + (c - lo_i)))
+            else:
+                break  # truncated range
     return out
 
 
@@ -1185,25 +1241,58 @@ def parse_pdf(data: bytes, password: str | None = None) -> PdfFile:
     truthy metadata (reference core/document.py:169-178 semantics).
     ``password`` unlocks standard-security-handler encryption (RC4/AES;
     empty-user-password documents open with no password, like PyMuPDF's
-    open-time attempt — reference core/document.py:109-123)."""
+    open-time attempt — reference core/document.py:109-123).
+
+    Error contract: malformed input raises ``PdfError``, full stop —
+    callers (extract_document, engine/paged) degrade per document on
+    that type. Truncated strings, bad hex, overflowing numerics and the
+    like surface from the lexer/filters as builtin exceptions, so the
+    implementation is wrapped: any data-shaped exception converts to
+    PdfError here rather than aborting a whole Spark task batch."""
+    import struct
+    import zlib
+
+    try:
+        return _parse_pdf_impl(data, password)
+    except PdfError:
+        raise
+    except RecursionError as e:
+        raise PdfError(f"malformed document: {e!r}") from e
+    except (ValueError, IndexError, KeyError, TypeError, AttributeError,
+            OverflowError, ZeroDivisionError, EOFError,
+            UnicodeDecodeError, struct.error, zlib.error) as e:
+        raise PdfError(
+            f"malformed document: {type(e).__name__}: {e}") from e
+
+
+def _parse_pdf_impl(data: bytes, password: str | None = None) -> PdfFile:
     doc = _Doc(data, password)
     root = doc.obj(doc.trailer.get("Root"))
     pages_node = doc.obj(root.get("Pages")) if isinstance(root, dict) else None
     page_refs: list = []
 
-    def walk(node, depth: int = 0, inherited_mb=None) -> None:
-        """Page-tree walk with MediaBox attribute inheritance (PDF spec
-        §7.7.3.4: Page inherits MediaBox/Resources from Pages parents)."""
+    def walk(node, depth: int = 0, inherited_mb=None,
+             inherited_res=None) -> None:
+        """Page-tree walk with MediaBox AND Resources inheritance (PDF
+        spec §7.7.3.4: Page inherits both from Pages parents — fonts
+        declared once on the root Pages node are the common real-world
+        layout, and missing them silently degrades every glyph width
+        to the Helvetica fallback)."""
         if not isinstance(node, dict) or depth > 32:
             return
         mb = node.get("MediaBox", inherited_mb)
+        res = node.get("Resources", inherited_res)
         if node.get("Type") == "Pages" or "Kids" in node:
             for kid in doc.obj(node.get("Kids")) or []:
-                walk(doc.obj(kid), depth + 1, mb)
+                walk(doc.obj(kid), depth + 1, mb, res)
         elif node.get("Type") == "Page" or "Contents" in node:
+            patched = {}
             if "MediaBox" not in node and mb is not None:
-                node = dict(node)
-                node["MediaBox"] = mb
+                patched["MediaBox"] = mb
+            if "Resources" not in node and res is not None:
+                patched["Resources"] = res
+            if patched:
+                node = {**node, **patched}
             page_refs.append(node)
 
     if pages_node is not None:

@@ -244,3 +244,39 @@ def test_table_without_spans_unchanged():
     res = extract_html(html)
     assert "| h1  | h2  |" in res["text"]
     assert "| v1  | v2  |" in res["text"]
+
+
+def test_uppercase_rawtext_close_tag():
+    """</SCRIPT> (close tags are case-insensitive HTML) must terminate
+    the raw-text skip — a case-sensitive search silently dropped the
+    whole rest of the document."""
+    from pdf_parser_spark.html.extract import extract_html
+
+    html = (b"<html><body><script>var x=1;</SCRIPT>"
+            b"<p>this paragraph carries the long and meaningful body "
+            b"content of the page and must survive extraction</p>"
+            b"</body></html>")
+    res = extract_html(html)
+    assert "meaningful body content" in res["text"]
+    # same via <STYLE>
+    html2 = html.replace(b"<script>var x=1;</SCRIPT>",
+                         b"<style>.x{}</STYLE>")
+    assert "meaningful body content" in extract_html(html2)["text"]
+
+
+def test_table_cell_block_wrapped_content():
+    """<td><p>text</p></td> is everyday markup: cell text wrapped in a
+    block element must reach the ASCII grid (cells aren't candidate
+    blocks, so nothing else would ever emit it)."""
+    from pdf_parser_spark.html.extract import extract_html
+
+    html = (b"<html><body>"
+            b"<p>the surrounding prose paragraph provides enough real "
+            b"content for the density filters to keep this page</p>"
+            b"<table>"
+            b"<tr><td><p>alpha</p></td><td><div>beta</div></td></tr>"
+            b"<tr><td>gamma</td><td>delta</td></tr>"
+            b"</table></body></html>")
+    res = extract_html(html)
+    for word in ("alpha", "beta", "gamma", "delta"):
+        assert word in res["text"], word

@@ -845,3 +845,93 @@ def test_v5_r5_single_hash_handler():
     # V5 object decryption uses the file key directly (no Algorithm 1)
     blob = crypto.aes_cbc_encrypt(file_key, b"seekrit stream", b"\x01" * 16)
     assert h.decrypt(blob, 99, 0) == b"seekrit stream"
+
+
+def test_malformed_lexer_input_raises_pdf_error_only():
+    """The error contract: malformed bytes raise PdfError, never a raw
+    IndexError/ValueError that would abort a whole Spark task batch
+    (engine/paged catches PdfError per document)."""
+    from pdf_parser_spark.pdf.tokenizer import PdfError, parse_pdf
+
+    cases = [
+        b"%PDF-1.4\n1 0 obj\n<zz>\nendobj\n",          # bad hex string
+        b"%PDF-1.4\n1 0 obj\n(abc\\",                   # escape at EOF
+        b"%PDF-1.4\n1 0 obj\n<</K /N#GG>>\nendobj\n",   # bad name hex
+    ]
+    for data in cases:
+        with pytest.raises(PdfError):
+            parse_pdf(data)
+
+
+def test_incremental_update_classic_xref_prev_chain():
+    """A classically-xref'd PDF with one incremental update: the new
+    section lists only the changed object and /Prev points at the
+    original table — every untouched object must still resolve, and
+    the LAST startxref in the file must win."""
+    from pdf_parser_spark.pdf.tokenizer import parse_pdf
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    base = build_pdf([Page(texts=[Text(72, 700, "original body")])])
+    # find the original xref offset (the writer emits classic xref)
+    import re
+
+    orig_start = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # craft an incremental update: new Info object + xref section
+    # listing ONLY it, trailer /Prev -> original table
+    new_num = 90
+    obj_off = len(base)
+    update_obj = (b"%d 0 obj\n<< /Title (updated) >>\nendobj\n" % new_num)
+    xref_off = obj_off + len(update_obj)
+    xref = (b"xref\n%d 1\n%010d 00000 n \n" % (new_num, obj_off)
+            + b"trailer\n<< /Prev %d >>\n" % orig_start
+            + b"startxref\n%d\n%%%%EOF\n" % xref_off)
+    updated = base + update_obj + xref
+    f = parse_pdf(updated)
+    text = " ".join(s.text for p in f.pages for s in p.spans)
+    assert "original body" in text
+
+
+def test_bfrange_array_destination_form():
+    """ToUnicode bfrange with the spec's array form 'lo hi [d1 d2 d3]'
+    maps one destination per code and does NOT poison later ranges."""
+    from pdf_parser_spark.pdf.tokenizer import _parse_tounicode
+
+    cmap = (b"beginbfrange\n"
+            b"<0000> <0002> [<0041> <0042> <0043>]\n"
+            b"<0010> <0012> <0061>\n"
+            b"endbfrange")
+    out = _parse_tounicode(cmap)
+    assert out[0] == "A" and out[1] == "B" and out[2] == "C"
+    assert out[0x10] == "a" and out[0x11] == "b" and out[0x12] == "c"
+
+
+def test_pages_node_resources_inheritance():
+    """Fonts declared on the parent Pages node (spec 7.7.3.4 inheritable
+    /Resources) must reach the page — a custom-width font on the
+    parent, not the page, still drives span text."""
+    from pdf_parser_spark.pdf.tokenizer import parse_pdf
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    # the font carries /Differences mapping 0x82 -> eacute: the mapped
+    # char can ONLY appear if the inherited font object was resolved
+    # (the no-inheritance fallback decodes 0x82 as latin-1)
+    content = b"BT /F1 12 Tf 72 700 Td (caf\x82 meal) Tj ET"
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 "
+           b"/MediaBox [0 0 612 792] "
+           b"/Resources << /Font << /F1 5 0 R >> >> >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+           b"/Encoding << /Differences [ 130 /eacute ] >> >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    for num, d in objs.items():
+        buf.extend(b"%d 0 obj\n%s\nendobj\n" % (num, d))
+    buf.extend(b"4 0 obj\n<< /Length %d >>\nstream\n" % len(content))
+    buf.extend(content)
+    buf.extend(b"\nendstream\nendobj\n")
+    buf.extend(b"trailer\n<< /Root 1 0 R /Size 6 >>\n%%EOF\n")
+    f = parse_pdf(bytes(buf))
+    text = " ".join(s.text for p in f.pages for s in p.spans)
+    assert "café meal" in text
