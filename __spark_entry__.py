@@ -467,6 +467,32 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bands over the lm_quality
+    score; thresholds via a 1-row percentile broadcast, never a global
+    rank window."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.ppl_buckets(_docs(spark, sf_dir))
+
+
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span-level dedup: repeated 16-token spans keep
+    only their first global occurrence; documents are rebuilt from
+    surviving spans."""
+    from pdf_parser_spark.analytics import dedup
+
+    return dedup.span_dedup(_docs(spark, sf_dir))
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DCLM-style hashed-ngram linear quality classifier with
+    committed integer micro-unit weights — a zero-shuffle projection."""
+    from pdf_parser_spark.analytics import classifier
+
+    return classifier.quality_classifier(_docs(spark, sf_dir))
+
+
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata decode with a FULL value oracle: real BMP/WAV
     bytes are synthesized from doc_id arithmetic, decode_media parses
@@ -824,6 +850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
         "lm_quality": _q_lm_quality,
+        "ppl_buckets": _q_ppl_buckets,
+        "span_dedup": _q_span_dedup,
+        "quality_classifier": _q_quality_classifier,
         "sessionize_events": _q_sessionize,
         "hourly_events": _q_hourly_events,
     }
@@ -841,6 +870,38 @@ def _bpe_oracle_sql() -> str:
     from pdf_parser_spark.analytics import bpe
 
     return bpe.oracle_merge_sql("documents", "text")
+
+
+def _quality_clf_oracle_sql() -> str:
+    """DuckDB replay of the hashed-ngram linear quality classifier: the
+    committed integer micro-unit weights are inlined as a list literal,
+    the bucket hash mirrors _md5_int % NBUCKETS, and the weight sum is
+    an exact int64 list_sum (order-free), so the 6-dp logit is
+    bit-identical to Spark's."""
+    from pdf_parser_spark.analytics.classifier import NBUCKETS, load_weights
+
+    bias, w = load_weights()
+    wl = "[" + ", ".join(str(x) for x in w) + "]"
+    hb = f"({_sql_md5int('x')} % {NBUCKETS})"
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        "b AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2 THEN "
+        "list_transform(range(1, len(tk)), "
+        "i -> tk[i] || ' ' || tk[i + 1]) "
+        "ELSE CAST([] AS VARCHAR[]) END AS bg FROM t), "
+        f"w AS (SELECT CAST({wl} AS BIGINT[]) AS wl), "
+        "f AS (SELECT doc_id, list_concat(tk, bg) AS feat "
+        "FROM b), "
+        "s AS (SELECT doc_id, len(feat) AS n, "
+        "list_sum(list_transform(feat, "
+        f"x -> wl[CAST({hb} AS INT) + 1])) AS sw "
+        "FROM f CROSS JOIN w) "
+        "SELECT doc_id, CAST(n AS BIGINT) AS n_features, "
+        f"round(({float(bias)} + CAST(sw AS DOUBLE) / n) / 1e6, 6) "
+        "AS logit, "
+        f"round(({float(bias)} + CAST(sw AS DOUBLE) / n) / 1e6, 6) > 0 "
+        "AS label FROM s"
+    )
 
 
 def _sql_md5int(expr: str) -> str:
@@ -1262,6 +1323,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, count(*) AS n_bigrams, "
             "round(avg(nll), 4) AS avg_nll FROM scored GROUP BY doc_id"
         ),
+        "ppl_buckets": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents "
+            "WHERE len(" + _TOKS + ") >= 2), "
+            "bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2 "
+            "FROM t, unnest(range(1, len(tk))) r(i)), "
+            "ref AS (SELECT * FROM bg WHERE doc_id % 10 = 1), "
+            "uni AS (SELECT w1, count(*) AS u FROM ref GROUP BY w1), "
+            "big AS (SELECT w1, w2, count(*) AS bcnt FROM ref "
+            "GROUP BY w1, w2), "
+            "vocab AS (SELECT count(*) AS v FROM uni), "
+            "scored AS (SELECT g.doc_id, "
+            "ln(2 * coalesce(u.u, 0) + vocab.v) "
+            "- ln(2 * coalesce(b.bcnt, 0) + 1) AS nll "
+            "FROM bg g LEFT JOIN big b USING (w1, w2) "
+            "LEFT JOIN uni u USING (w1) CROSS JOIN vocab), "
+            "lmq AS (SELECT doc_id, round(avg(nll), 4) AS avg_nll "
+            "FROM scored GROUP BY doc_id), "
+            "cuts AS (SELECT quantile_cont(avg_nll, 1.0/3) AS c1, "
+            "quantile_cont(avg_nll, 2.0/3) AS c2 FROM lmq) "
+            "SELECT doc_id, avg_nll, CASE WHEN avg_nll <= c1 THEN 'head' "
+            "WHEN avg_nll <= c2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM lmq CROSS JOIN cuts"
+        ),
+        "span_dedup": (
+            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+            "c AS (SELECT doc_id, tk, len(tk) AS n, "
+            "CAST(floor((len(tk) + 15) / 16) AS INT) AS nc FROM t), "
+            "ex AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, "
+            "array_to_string(tk[i * 16 + 1 : i * 16 + 16], ' ') AS seg "
+            "FROM c, unnest(range(0, nc)) r(i)), "
+            "h AS (SELECT doc_id, seg_idx, seg, "
+            + _sql_md5int("seg") + " AS hh FROM ex), "
+            "m AS (SELECT *, row_number() OVER (PARTITION BY hh "
+            "ORDER BY doc_id, seg_idx) AS rn FROM h) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_kept, "
+            "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' "
+            "ORDER BY seg_idx), '') AS text_dedup "
+            "FROM m GROUP BY doc_id"
+        ),
+        "quality_classifier": _quality_clf_oracle_sql(),
         "sample_corpus": (
             "SELECT doc_id, lang FROM documents WHERE "
             "CAST(CAST(concat('0x', substr(md5(concat('s0', "

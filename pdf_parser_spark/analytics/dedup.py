@@ -509,6 +509,59 @@ def incremental_near_duplicates(index: DataFrame, new_docs: DataFrame,
     return result
 
 
+def span_dedup(docs: DataFrame, text_col: str = "text",
+               span_tokens: int = 16) -> DataFrame:
+    """C4-style global span-level deduplication with document
+    reconstruction: each document is cut into consecutive
+    ``span_tokens``-token spans, every repeated span keeps only its
+    FIRST global occurrence (ordered by (doc_id, seg_idx)), and each
+    document is rebuilt from its surviving spans. C4 removes repeated
+    three-sentence spans this way; the fixed token window is the
+    tokenizer-level equivalent for corpora without sentence structure.
+
+    Returns (doc_id, n_spans, n_kept, text_dedup) for EVERY input
+    document — a doc whose spans all lose elsewhere-first comes back
+    with n_kept=0 and empty text (that is the filter signal).
+
+    Plan shape for 100 TB: the winner per span hash comes from a
+    map-side-combinable ``groupBy(h).agg(min(struct(doc_id, seg_idx)))``
+    — deliberately NOT a per-hash window: a boilerplate span shared by
+    10^9 pages would force a single window partition to sort 10^9 rows,
+    while partial aggregation reduces that key to one row per map task
+    before the shuffle and the subsequent equi-join on ``h`` is
+    AQE-skew-splittable. Three narrow shuffles total (winner agg, mark
+    join, per-doc rebuild); span text rides only the rebuild shuffle,
+    exactly once."""
+    k = span_tokens
+    df = (docs.withColumn("_tk", tokens(F.col(text_col)))
+          .withColumn("_n", F.size("_tk")))
+    nseg = F.floor((F.col("_n") + k - 1) / k).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("seg_idx"),
+            F.array_join(F.slice("_tk", i * k + 1, k), " ").alias("seg")))
+    seg_rows = (df.select("doc_id", F.explode(spans).alias("s"))
+                .select("doc_id", "s.seg_idx", "s.seg")
+                .withColumn("h", _md5_int(F.col("seg"))))
+    winners = (seg_rows.groupBy("h")
+               .agg(F.min(F.struct("doc_id", "seg_idx")).alias("w")))
+    marked = (seg_rows.join(winners, "h")
+              .withColumn("kept",
+                          (F.col("doc_id") == F.col("w.doc_id"))
+                          & (F.col("seg_idx") == F.col("w.seg_idx"))))
+    return (marked.groupBy("doc_id")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("kept"),
+                                    F.struct("seg_idx", "seg")))),
+                         lambda s: s["seg"]),
+                     " ").alias("text_dedup")))
+
+
 # kept for callers that want raw shingle hash arrays
 def shingles(text_col, n: int = SHINGLE_N):
     """DEPRECATED in favor of with_shingle_hashes (see PERF invariants in

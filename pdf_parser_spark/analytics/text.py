@@ -369,3 +369,30 @@ def lm_quality(docs: DataFrame, text_col: str = "text",
     return (scored.groupBy("doc_id")
             .agg(F.count("*").alias("n_bigrams"),
                  F.round(F.avg("nll"), 4).alias("avg_nll")))
+
+
+def ppl_buckets(docs: DataFrame, text_col: str = "text",
+                ref_mod: int = 10, ref_val: int = 1) -> DataFrame:
+    """CCNet head/middle/tail corpus partition: bucket every document by
+    its LM score (``lm_quality`` avg_nll) into the best/middle/worst
+    third of the corpus — CCNet shards Common Crawl into exactly these
+    three perplexity bands and most pipelines train on head+middle.
+
+    Buckets come from value thresholds (the 1/3 and 2/3 percentiles of
+    avg_nll), NOT a global NTILE: a rank window would funnel the whole
+    corpus through one sorted partition, while the threshold aggregate
+    reduces map-side and broadcasts ONE row back. At bench scale the
+    exact ``percentile`` keeps the oracle bit-comparable (verified
+    identical to DuckDB ``quantile_cont``); at 10^12 docs swap in
+    ``approx_percentile`` — same plan shape, same 1-row broadcast."""
+    scored = lm_quality(docs, text_col, ref_mod, ref_val)
+    cuts = scored.agg(
+        F.percentile("avg_nll", F.array(F.lit(1.0 / 3),
+                                        F.lit(2.0 / 3))).alias("c"))
+    return (scored.crossJoin(F.broadcast(cuts))
+            .select("doc_id", "avg_nll",
+                    F.when(F.col("avg_nll") <= F.element_at("c", 1),
+                           F.lit("head"))
+                    .when(F.col("avg_nll") <= F.element_at("c", 2),
+                          F.lit("middle"))
+                    .otherwise(F.lit("tail")).alias("bucket")))

@@ -884,3 +884,86 @@ def test_zero_norm_embedding_never_ranks(spark):
     assert all(not math.isnan(r.cosine) for r in got)
     order = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)]
     assert order[-1] == 2  # the zero vector ranks LAST, not first
+
+
+def _span(prefix, n=16):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_span_dedup_keeps_first_global_occurrence(spark):
+    """C4-style span dedup: a 16-token span repeated across documents
+    survives only in the (doc_id, seg_idx)-first document; every doc
+    comes back, rebuilt from its surviving spans."""
+    from pdf_parser_spark.analytics import dedup
+
+    a, b, c = _span("a"), _span("b"), _span("c")
+    docs = spark.createDataFrame(
+        [(0, f"{a} {b}"), (1, f"{a} {c}"), (2, _span("u"))],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.span_dedup(docs).collect()}
+    assert set(got) == {0, 1, 2}
+    assert (got[0].n_spans, got[0].n_kept) == (2, 2)
+    assert got[0].text_dedup == f"{a} {b}"
+    assert (got[1].n_spans, got[1].n_kept) == (2, 1)  # span a lost to doc 0
+    assert got[1].text_dedup == c
+    assert (got[2].n_spans, got[2].n_kept) == (1, 1)
+
+
+def test_span_dedup_intra_document_repeat(spark):
+    """The same span twice in ONE document keeps only the first copy
+    (C4 semantics: global first occurrence, document order within)."""
+    from pdf_parser_spark.analytics import dedup
+
+    a, b = _span("a"), _span("b")
+    docs = spark.createDataFrame(
+        [(7, f"{a} {b} {a}")], "doc_id long, text string")
+    r = dedup.span_dedup(docs).collect()[0]
+    assert (r.n_spans, r.n_kept) == (3, 2)
+    assert r.text_dedup == f"{a} {b}"
+
+
+def test_quality_classifier_matches_python_replay(spark):
+    """The Spark logit must equal an independent python replay of the
+    committed weights (hash bucket, exact int64 weight sum, one
+    division) to all 6 rounded decimals."""
+    import hashlib
+
+    from pdf_parser_spark.analytics import classifier
+
+    bias, w = classifier.load_weights()
+
+    def replay(text):
+        toks = text.strip().split()
+        feats = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        s = sum(w[int(hashlib.md5(f.encode()).hexdigest()[:15], 16)
+                  % classifier.NBUCKETS] for f in feats)
+        return round((float(bias) + s / len(feats)) / 1e6, 6)
+
+    texts = ["the quick brown fox", "table scan merge join batch",
+             "single", "a a a a a the of to is and"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           classifier.quality_classifier(docs).collect()}
+    for i, t in enumerate(texts):
+        assert got[i].logit == replay(t), t
+        assert got[i].label == (got[i].logit > 0)
+    assert got[2].n_features == 1  # one token, no bigram
+
+
+def test_ppl_buckets_are_monotone_thirds(spark, docs):
+    """head/middle/tail must partition the scored corpus into
+    non-empty bands, monotone in avg_nll by construction."""
+    from pdf_parser_spark.analytics import text as T
+
+    rows = T.ppl_buckets(docs).collect()
+    by = {"head": [], "middle": [], "tail": []}
+    for r in rows:
+        by[r.bucket].append(r.avg_nll)
+    assert all(by.values())
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+    n = len(rows)
+    assert len(T.lm_quality(docs).collect()) == n
+    for vals in by.values():  # value-threshold terciles: ~n/3 each
+        assert len(vals) >= n // 5

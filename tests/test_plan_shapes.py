@@ -37,6 +37,7 @@ def queries(spark):
                 "sample_corpus", "pack_chunks", "pii_features",
                 "boilerplate_ngrams", "bpe_token_counts", "lang_features",
                 "tpch_q3", "tpch_q6",
+                "quality_classifier", "span_dedup", "ppl_buckets",
             }}
 
 
@@ -44,6 +45,37 @@ def test_pure_projection_queries_have_zero_shuffles(queries):
     for name in ("text_stats", "quality_features", "repetition_features",
                  "chunk_documents", "lang_features"):
         assert _shuffles(queries[name]) == 0, name
+
+
+def test_quality_classifier_is_shuffle_free_jvm_projection(queries):
+    """The hashed-ngram model scores map-side only: the weights live in
+    the query as literals (no join/broadcast table) and the fold is a
+    JVM expression (no Python boundary)."""
+    df = queries["quality_classifier"]
+    plan = _plan(df)
+    assert _shuffles(df) == 0
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_span_dedup_aggregates_winners_no_per_hash_window(queries):
+    """Span winners come from a map-side-combinable min-struct aggregate,
+    NEVER a per-hash window — a window would sort every occurrence of a
+    hot boilerplate span inside one partition at 10^12 docs."""
+    df = queries["span_dedup"]
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert _shuffles(df) <= 3  # winner agg, mark join, per-doc rebuild
+
+
+def test_ppl_buckets_thresholds_broadcast_no_rank_window(queries):
+    """Perplexity bands come from a 1-row percentile broadcast joined
+    back — NOT a global NTILE, which would funnel the corpus through a
+    single sorted partition."""
+    df = queries["ppl_buckets"]
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert _broadcasts(df) >= 1
 
 
 def test_tpch_q6_is_pushdown_scan_plus_one_row_agg(queries):
