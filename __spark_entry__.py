@@ -467,6 +467,14 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup manifest: one best-quality representative per LSH
+    connected-component cluster, via a single min-struct aggregate."""
+    from pdf_parser_spark.analytics import dedup
+
+    return dedup.canonical_docs(_docs(spark, sf_dir))
+
+
 def _q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bands over the lm_quality
     score; thresholds via a 1-row percentile broadcast, never a global
@@ -846,6 +854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_with_returns": _q_orders_with_returns,
         "top_customers_by_nation": _q_top_customers,
         "dedup_clusters": _q_dedup_clusters,
+        "canonical_docs": _q_canonical_docs,
         "incremental_dedup": _q_incremental_dedup,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1029,6 +1038,42 @@ def oracle_sql() -> dict[str, str]:
         bands.append(f"SELECT doc_id, s, {b} AS band, {bucket} AS bucket "
                      f"FROM sig")
     banded = " UNION ALL ".join(bands)
+    clusters_sql = (
+        _sql_minhash_cte(8).replace("WITH ", "WITH RECURSIVE ", 1)
+        + f", banded AS ({banded}), "
+        "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, "
+        "b.doc_id AS doc_b FROM banded a JOIN banded b "
+        "ON a.band = b.band AND a.bucket = b.bucket "
+        "AND a.doc_id < b.doc_id), "
+        "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
+        "pj AS (SELECT p.doc_a, p.doc_b, "
+        "round(CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) / "
+        "(len(sa.sd) + len(sb.sd) "
+        " - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))), 6) "
+        "AS jaccard "
+        "FROM pairs p JOIN shd sa ON p.doc_a = sa.doc_id "
+        "JOIN shd sb ON p.doc_b = sb.doc_id), "
+        # connected components: propagate every reachable label,
+        # keep the minimum per node (mirrors hash-to-min fixpoint)
+        "edges AS (SELECT doc_a AS s, doc_b AS t FROM pj "
+        "WHERE jaccard >= 0.5 "
+        "UNION ALL SELECT doc_b, doc_a FROM pj WHERE jaccard >= 0.5), "
+        "reach(v, l) AS (SELECT doc_id AS v, doc_id AS l "
+        "FROM documents "
+        "UNION SELECT e.t, r.l FROM reach r JOIN edges e "
+        "ON e.s = r.v) "
+        "SELECT v AS doc_id, min(l) AS cluster_id FROM reach "
+        "GROUP BY v"
+    )
+    quality_score_sql = (
+        "round(least(len(" + _TOKS + ") / 100.0, 1.0) * 0.4 "
+        f"+ least(len(list_filter({_TOKS}, "
+        f"t -> t IN {_LANG_MARKERS_SQL['en']})) "
+        f"/ greatest(len({_TOKS}), 1) * 10.0, 1.0) * 0.3 "
+        "+ (1.0 - least((length(text) - length(regexp_replace(text, "
+        "'[^\\w\\s]', '', 'g'))) / greatest(length(text), 1) * 5.0, "
+        "1.0)) * 0.3, 6)"
+    )
     return {
         "extract_html_roundtrip": roundtrip,
         "extract_pdf_roundtrip": roundtrip,
@@ -1097,32 +1142,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN shd sb ON p.dup_of = sb.doc_id) "
             "WHERE jaccard >= 0.5"
         ),
-        "dedup_clusters": (
-            _sql_minhash_cte(8).replace("WITH ", "WITH RECURSIVE ", 1)
-            + f", banded AS ({banded}), "
-            "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, "
-            "b.doc_id AS doc_b FROM banded a JOIN banded b "
-            "ON a.band = b.band AND a.bucket = b.bucket "
-            "AND a.doc_id < b.doc_id), "
-            "shd AS (SELECT doc_id, list_distinct(s) AS sd FROM sh), "
-            "pj AS (SELECT p.doc_a, p.doc_b, "
-            "round(CAST(len(list_filter(sa.sd, x -> list_contains(sb.sd, x))) AS DOUBLE) / "
-            "(len(sa.sd) + len(sb.sd) "
-            " - len(list_filter(sa.sd, x -> list_contains(sb.sd, x)))), 6) "
-            "AS jaccard "
-            "FROM pairs p JOIN shd sa ON p.doc_a = sa.doc_id "
-            "JOIN shd sb ON p.doc_b = sb.doc_id), "
-            # connected components: propagate every reachable label,
-            # keep the minimum per node (mirrors hash-to-min fixpoint)
-            "edges AS (SELECT doc_a AS s, doc_b AS t FROM pj "
-            "WHERE jaccard >= 0.5 "
-            "UNION ALL SELECT doc_b, doc_a FROM pj WHERE jaccard >= 0.5), "
-            "reach(v, l) AS (SELECT doc_id AS v, doc_id AS l "
-            "FROM documents "
-            "UNION SELECT e.t, r.l FROM reach r JOIN edges e "
-            "ON e.s = r.v) "
-            "SELECT v AS doc_id, min(l) AS cluster_id FROM reach "
-            "GROUP BY v"
+        "dedup_clusters": clusters_sql,
+        "canonical_docs": (
+            f"WITH c AS ({clusters_sql}), "
+            f"q AS (SELECT doc_id, {quality_score_sql} AS qs "
+            "FROM documents), "
+            "j AS (SELECT c.cluster_id, c.doc_id, q.qs, "
+            "count(*) OVER (PARTITION BY c.cluster_id) AS csize, "
+            "row_number() OVER (PARTITION BY c.cluster_id "
+            "ORDER BY q.qs DESC, c.doc_id ASC) AS rn "
+            "FROM c JOIN q ON c.doc_id = q.doc_id) "
+            "SELECT cluster_id, doc_id AS rep_doc_id, "
+            "CAST(csize AS BIGINT) AS cluster_size, qs AS rep_quality "
+            "FROM j WHERE rn = 1"
         ),
         "semantic_dedup": (
             _sql_ivf_asg_cte(16, 64)

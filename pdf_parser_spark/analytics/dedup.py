@@ -451,6 +451,43 @@ def dedup_clusters(docs: DataFrame, text_col: str = "text",
     return result
 
 
+def canonical_docs(docs: DataFrame, text_col: str = "text",
+                   min_jaccard: float = 0.5) -> DataFrame:
+    """One representative per near-duplicate cluster — the step a dedup
+    pass actually ships: cluster by ``dedup_clusters`` (LSH graph +
+    connected components), then keep the highest-``quality_score`` doc
+    per cluster (tie: lowest doc_id). Singletons represent themselves,
+    so the output IS the deduplicated corpus manifest.
+
+    Plan shape for 100 TB: the representative comes from ONE map-side-
+    combinable ``max(struct(quality, -doc_id))`` aggregate over the
+    cluster assignment — no per-cluster window, no second pass over
+    text (quality is a zero-shuffle projection computed in the same
+    scan that feeds the join). Returns the legacy
+    ``result.lsh_persisted_base`` handle like dedup_clusters (the
+    caller may unpersist after consuming)."""
+    from .text import quality_exprs
+
+    clusters, handle = dedup_clusters(
+        docs, text_col, min_jaccard=min_jaccard, return_handle=True)
+    q = docs.select(
+        "doc_id",
+        quality_exprs(F.col(text_col))["quality_score"]
+        .alias("quality_score"))
+    joined = clusters.join(q, "doc_id")
+    best = F.max(F.struct(F.col("quality_score").alias("q"),
+                          (-F.col("doc_id")).alias("neg_id")))
+    result = (joined.groupBy("cluster_id")
+              .agg(F.count("*").alias("cluster_size"), best.alias("b"))
+              .select("cluster_id",
+                      (-F.col("b.neg_id")).cast("long").alias("rep_doc_id"),
+                      F.col("cluster_size").cast("long")
+                      .alias("cluster_size"),
+                      F.col("b.q").alias("rep_quality")))
+    result.lsh_persisted_base = handle
+    return result
+
+
 def lsh_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Persistable MinHash-LSH index of a corpus: one row per
     (doc_id, band, bucket) with the doc's distinct shingle-hash array

@@ -967,3 +967,24 @@ def test_ppl_buckets_are_monotone_thirds(spark, docs):
     assert len(T.lm_quality(docs).collect()) == n
     for vals in by.values():  # value-threshold terciles: ~n/3 each
         assert len(vals) >= n // 5
+
+
+def test_canonical_docs_picks_highest_quality_rep(spark):
+    """The dedup manifest keeps the best-quality doc per near-dup
+    cluster and maps singletons to themselves."""
+    from pdf_parser_spark.analytics import dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"unrelated document number {i} with its own "
+                f"completely different words {i * 7}") for i in range(10)]
+    rows.append((100, base))
+    # near-dup of 100, longer + more stopwords -> higher quality_score
+    rows.append((101, base + " extra the and of"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.cluster_id: r for r in dedup.canonical_docs(docs).collect()}
+    assert out[100].cluster_size == 2
+    assert out[100].rep_doc_id == 101
+    singles = [c for c in out if c != 100]
+    assert all(out[c].rep_doc_id == c and out[c].cluster_size == 1
+               for c in singles)
+    assert len(out) == 11  # 10 singletons + one merged cluster
