@@ -467,6 +467,27 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl dedup: deterministic multi-capture synthesis (10 docs
+    share each url; warc_ts derived from doc_id) -> newest capture per
+    url via one max-struct aggregate. Output epochs as BIGINT so both
+    engines compare tz-free."""
+    from pdf_parser_spark.analytics import web
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("https://site"),
+                 F.pmod("doc_id", F.lit(50)).cast("string"),
+                 F.lit(".example/page")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000)
+                            + F.col("doc_id") * 3600).alias("warc_ts"),
+        "doc_id")
+    out = web.latest_captures(pages)
+    return out.select("url", "doc_id",
+                      F.unix_timestamp("warc_ts").alias("warc_epoch"),
+                      "n_captures")
+
+
 def _q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup manifest: one best-quality representative per LSH
     connected-component cluster, via a single min-struct aggregate."""
@@ -855,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_by_nation": _q_top_customers,
         "dedup_clusters": _q_dedup_clusters,
         "canonical_docs": _q_canonical_docs,
+        "latest_crawl": _q_latest_crawl,
         "incremental_dedup": _q_incremental_dedup,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1143,6 +1165,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jaccard >= 0.5"
         ),
         "dedup_clusters": clusters_sql,
+        "latest_crawl": (
+            "WITH p AS (SELECT concat('https://site', "
+            "CAST(doc_id % 50 AS VARCHAR), '.example/page') AS url, "
+            "1700000000 + doc_id * 3600 AS ep, doc_id FROM documents), "
+            "a AS (SELECT url, CAST(count(*) AS BIGINT) AS n_captures, "
+            "max(ep) AS mep FROM p GROUP BY url) "
+            "SELECT a.url, p.doc_id, CAST(a.mep AS BIGINT) AS warc_epoch, "
+            "a.n_captures FROM a JOIN p ON a.url = p.url AND a.mep = p.ep"
+        ),
         "canonical_docs": (
             f"WITH c AS ({clusters_sql}), "
             f"q AS (SELECT doc_id, {quality_score_sql} AS qs "

@@ -57,3 +57,28 @@ def host_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
                  F.round(F.sum(F.col("q").cast("decimal(18,6)"))
                          .cast("double") / F.count("*"), 6)
                  .alias("avg_quality")))
+
+
+def latest_captures(pages: DataFrame, url_col: str = "url",
+                    ts_col: str = "warc_ts",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Recrawl dedup: Common Crawl captures the same url across monthly
+    snapshots — keep only the NEWEST capture per url (tie: lowest
+    ``id_col``). This runs before content dedup in a crawl pipeline so
+    historical recrawls never inflate the corpus.
+
+    Plan shape for 100 TB: ONE ``max(struct(ts, -id))`` aggregation —
+    map-side combinable, so the shuffle carries one partial row per
+    (task, url), never the capture history; deliberately not a per-url
+    window (a hot url with millions of captures would sort inside one
+    partition). Column payload is (url, ts, id) — page bytes never ride
+    the shuffle; re-attach the kept capture's content by joining back
+    on (url, id)."""
+    best = F.max(F.struct(F.col(ts_col).alias("ts"),
+                          (-F.col(id_col)).alias("neg_id")))
+    return (pages.groupBy(url_col)
+            .agg(F.count("*").alias("n_captures"), best.alias("b"))
+            .select(url_col,
+                    (-F.col("b.neg_id")).cast("long").alias(id_col),
+                    F.col("b.ts").alias(ts_col),
+                    F.col("n_captures").cast("long").alias("n_captures")))

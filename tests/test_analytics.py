@@ -988,3 +988,21 @@ def test_canonical_docs_picks_highest_quality_rep(spark):
     assert all(out[c].rep_doc_id == c and out[c].cluster_size == 1
                for c in singles)
     assert len(out) == 11  # 10 singletons + one merged cluster
+
+
+def test_latest_captures_newest_wins_with_tiebreak(spark):
+    """Recrawl dedup keeps the newest warc_ts per url; equal timestamps
+    break to the lowest doc_id."""
+    from datetime import datetime
+
+    from pdf_parser_spark.analytics import web
+
+    t = datetime(2026, 1, 1)
+    t2 = datetime(2026, 3, 1)
+    rows = [("u1", t, 5), ("u1", t2, 3), ("u2", t, 9), ("u2", t, 7)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, doc_id long")
+    got = {r.url: r for r in web.latest_captures(pages).collect()}
+    assert got["u1"].doc_id == 3 and got["u1"].warc_ts == t2
+    assert got["u1"].n_captures == 2
+    assert got["u2"].doc_id == 7  # tie on ts -> lowest doc_id

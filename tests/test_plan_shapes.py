@@ -38,6 +38,7 @@ def queries(spark):
                 "boilerplate_ngrams", "bpe_token_counts", "lang_features",
                 "tpch_q3", "tpch_q6",
                 "quality_classifier", "span_dedup", "ppl_buckets",
+                "latest_crawl",
             }}
 
 
@@ -76,6 +77,17 @@ def test_ppl_buckets_thresholds_broadcast_no_rank_window(queries):
     plan = _plan(df)
     assert "Window" not in plan
     assert _broadcasts(df) >= 1
+
+
+def test_latest_crawl_is_one_combinable_aggregate(queries):
+    """Recrawl dedup = ONE map-side-combinable max-struct aggregation —
+    no per-url window (hot urls with millions of captures must not sort
+    inside one partition), exactly one shuffle of partial rows."""
+    df = queries["latest_crawl"]
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert _shuffles(df) == 1
+    assert "partial_" in plan.lower() or "partial" in plan
 
 
 def test_tpch_q6_is_pushdown_scan_plus_one_row_agg(queries):
