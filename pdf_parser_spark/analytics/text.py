@@ -372,7 +372,8 @@ def lm_quality(docs: DataFrame, text_col: str = "text",
 
 
 def ppl_buckets(docs: DataFrame, text_col: str = "text",
-                ref_mod: int = 10, ref_val: int = 1) -> DataFrame:
+                ref_mod: int = 10, ref_val: int = 1,
+                return_handle: bool = False):
     """CCNet head/middle/tail corpus partition: bucket every document by
     its LM score (``lm_quality`` avg_nll) into the best/middle/worst
     third of the corpus — CCNet shards Common Crawl into exactly these
@@ -384,15 +385,30 @@ def ppl_buckets(docs: DataFrame, text_col: str = "text",
     reduces map-side and broadcasts ONE row back. At bench scale the
     exact ``percentile`` keeps the oracle bit-comparable (verified
     identical to DuckDB ``quantile_cont``); at 10^12 docs swap in
-    ``approx_percentile`` — same plan shape, same 1-row broadcast."""
-    scored = lm_quality(docs, text_col, ref_mod, ref_val)
+    ``approx_percentile`` — same plan shape, same 1-row broadcast.
+
+    The per-doc scores feed BOTH the threshold aggregate and the final
+    labeling, so the narrow (doc_id, n_bigrams, avg_nll) frame is
+    persisted — 3 scalars/doc spill-able to local disk — instead of
+    re-running the whole bigram-LM scan+join pipeline twice. With
+    ``return_handle=True`` returns ``(df, handle)`` for explicit
+    ``handle.unpersist()``; the default attaches the dedup_clusters-
+    style ``lsh_persisted_base`` attribute."""
+    from pyspark import StorageLevel
+
+    scored = lm_quality(docs, text_col, ref_mod, ref_val) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     cuts = scored.agg(
         F.percentile("avg_nll", F.array(F.lit(1.0 / 3),
                                         F.lit(2.0 / 3))).alias("c"))
-    return (scored.crossJoin(F.broadcast(cuts))
-            .select("doc_id", "avg_nll",
-                    F.when(F.col("avg_nll") <= F.element_at("c", 1),
-                           F.lit("head"))
-                    .when(F.col("avg_nll") <= F.element_at("c", 2),
-                          F.lit("middle"))
-                    .otherwise(F.lit("tail")).alias("bucket")))
+    result = (scored.crossJoin(F.broadcast(cuts))
+              .select("doc_id", "avg_nll",
+                      F.when(F.col("avg_nll") <= F.element_at("c", 1),
+                             F.lit("head"))
+                      .when(F.col("avg_nll") <= F.element_at("c", 2),
+                            F.lit("middle"))
+                      .otherwise(F.lit("tail")).alias("bucket")))
+    if return_handle:
+        return result, scored
+    result.lsh_persisted_base = scored
+    return result

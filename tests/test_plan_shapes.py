@@ -77,6 +77,9 @@ def test_ppl_buckets_thresholds_broadcast_no_rank_window(queries):
     plan = _plan(df)
     assert "Window" not in plan
     assert _broadcasts(df) >= 1
+    # the per-doc scored frame is persisted: thresholds and labeling
+    # must both read the cache, not re-run the LM pipeline twice
+    assert "InMemoryTableScan" in plan
 
 
 def test_latest_crawl_is_one_combinable_aggregate(queries):
