@@ -467,6 +467,14 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style per-domain cap: best 3 docs per host via
+    partition-local partial top-k + reduced per-host window."""
+    from pdf_parser_spark.analytics import web
+
+    return web.host_cap(_docs(spark, sf_dir), k=3)
+
+
 def _q_latest_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl dedup: deterministic multi-capture synthesis (10 docs
     share each url; warc_ts derived from doc_id) -> newest capture per
@@ -877,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "canonical_docs": _q_canonical_docs,
         "latest_crawl": _q_latest_crawl,
+        "host_cap": _q_host_cap,
         "incremental_dedup": _q_incremental_dedup,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1165,6 +1174,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jaccard >= 0.5"
         ),
         "dedup_clusters": clusters_sql,
+        "host_cap": (
+            "WITH d AS (SELECT doc_id, "
+            "concat('site', CAST(doc_id % 97 AS VARCHAR), '.example') "
+            f"AS host, {quality_score_sql} AS q FROM documents), "
+            "r AS (SELECT host, doc_id, q, row_number() OVER ("
+            "PARTITION BY host ORDER BY q DESC, doc_id ASC) AS rn "
+            "FROM d) "
+            "SELECT host, doc_id, q AS quality_score, "
+            "CAST(rn AS INT) AS host_rank FROM r WHERE rn <= 3"
+        ),
         "latest_crawl": (
             "WITH p AS (SELECT concat('https://site', "
             "CAST(doc_id % 50 AS VARCHAR), '.example/page') AS url, "

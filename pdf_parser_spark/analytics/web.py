@@ -82,3 +82,46 @@ def latest_captures(pages: DataFrame, url_col: str = "url",
                     (-F.col("b.neg_id")).cast("long").alias(id_col),
                     F.col("b.ts").alias(ts_col),
                     F.col("n_captures").cast("long").alias("n_captures")))
+
+
+def host_cap(docs: DataFrame, k: int = 3,
+             text_col: str = "text") -> DataFrame:
+    """FineWeb-style per-domain cap: keep at most the ``k`` best-quality
+    documents per host (domain balancing — without it a handful of
+    template-heavy hosts dominate a crawl-scale corpus).
+
+    Two-stage top-k (same shape as similarity._rank_topk): a
+    partition-LOCAL head(k)-per-host inside mapInPandas first — no
+    exchange, each input partition emits <= k rows per host — then the
+    per-host rank window runs over at most partitions x k rows per
+    host. A single global window would instead ship EVERY page of a
+    hot host into one sorted reducer partition. The (quality desc,
+    doc_id asc) total order is deterministic (quality is 6-dp rounded,
+    ties break on doc_id), and the global top-k is always a subset of
+    the union of partition-local top-ks, so the two stages are exact."""
+    from pyspark.sql.window import Window
+
+    qx = quality_exprs(F.col(text_col))
+    per = with_url(docs).select(
+        host_of(F.col("url")).alias("host"), "doc_id",
+        qx["quality_score"].alias("q"))
+
+    def partial(batches):
+        import pandas as pd
+
+        best = None
+        for pdf in batches:
+            cur = pdf if best is None else pd.concat(
+                [best, pdf], ignore_index=True)
+            best = (cur.sort_values(["host", "q", "doc_id"],
+                                    ascending=[True, False, True])
+                    .groupby("host", sort=False).head(k))
+        if best is not None and len(best):
+            yield best
+
+    part = per.mapInPandas(partial, "host string, doc_id long, q double")
+    w = Window.partitionBy("host").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (part.withColumn("host_rank", F.row_number().over(w))
+            .where(F.col("host_rank") <= k)
+            .select("host", "doc_id",
+                    F.col("q").alias("quality_score"), "host_rank"))

@@ -1006,3 +1006,35 @@ def test_latest_captures_newest_wins_with_tiebreak(spark):
     assert got["u1"].doc_id == 3 and got["u1"].warc_ts == t2
     assert got["u1"].n_captures == 2
     assert got["u2"].doc_id == 7  # tie on ts -> lowest doc_id
+
+
+def test_host_cap_limits_per_host_and_is_partition_invariant(spark):
+    """Per-domain cap keeps the k best-quality docs per host and the
+    two-stage (partition-local head + reduced window) result must not
+    depend on input partitioning."""
+    from pdf_parser_spark.analytics import web
+
+    # doc_id % 97 keys the host: ids 0,97,194,... share host site0
+    rows = [(97 * i, f"doc number {i} " + "the and of to is " * (i + 1))
+            for i in range(6)]           # 6 docs, ONE host, rising quality
+    rows += [(1, "a lone page on another host")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out1 = web.host_cap(docs, k=3).collect()
+    out8 = web.host_cap(docs.repartition(8), k=3).collect()
+    assert sorted((r.host, r.doc_id, r.host_rank) for r in out1) == \
+        sorted((r.host, r.doc_id, r.host_rank) for r in out8)
+    by_host = {}
+    for r in out1:
+        by_host.setdefault(r.host, []).append(r)
+    assert len(by_host["site0.example"]) == 3
+    assert len(by_host["site1.example"]) == 1
+    ranks = {r.host_rank for r in by_host["site0.example"]}
+    assert ranks == {1, 2, 3}
+    # the capped host keeps its BEST quality docs, not arbitrary ones
+    kept_q = min(r.quality_score for r in by_host["site0.example"])
+    all_q = {r.doc_id: r.quality_score
+             for r in web.host_cap(docs, k=10).collect()
+             if r.host == "site0.example"}
+    dropped_q = [q for d, q in all_q.items()
+                 if d not in {r.doc_id for r in by_host["site0.example"]}]
+    assert all(q <= kept_q for q in dropped_q)

@@ -38,7 +38,7 @@ def queries(spark):
                 "boilerplate_ngrams", "bpe_token_counts", "lang_features",
                 "tpch_q3", "tpch_q6",
                 "quality_classifier", "span_dedup", "ppl_buckets",
-                "latest_crawl",
+                "latest_crawl", "host_cap",
             }}
 
 
@@ -80,6 +80,19 @@ def test_ppl_buckets_thresholds_broadcast_no_rank_window(queries):
     # the per-doc scored frame is persisted: thresholds and labeling
     # must both read the cache, not re-run the LM pipeline twice
     assert "InMemoryTableScan" in plan
+
+
+def test_host_cap_is_two_stage_topk(queries):
+    """Per-domain cap: the partition-local MapInPandas head(k) must sit
+    BELOW the single per-host window exchange, so the shuffle carries
+    <= partitions x k rows per host instead of every page of a hot
+    host."""
+    df = queries["host_cap"]
+    plan = _plan(df)
+    assert _shuffles(df) == 1
+    assert "MapInPandas" in plan
+    win_at = plan.index("Window")
+    assert "MapInPandas" in plan[win_at:]  # partial stage feeds the window
 
 
 def test_latest_crawl_is_one_combinable_aggregate(queries):
