@@ -566,37 +566,51 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
     10^9 pages would force a single window partition to sort 10^9 rows,
     while partial aggregation reduces that key to one row per map task
     before the shuffle and the subsequent equi-join on ``h`` is
-    AQE-skew-splittable. Three narrow shuffles total (winner agg, mark
-    join, per-doc rebuild); span text rides only the rebuild shuffle,
-    exactly once."""
+    AQE-skew-splittable. Span TEXT never rides the hash shuffles at
+    all: the hash/mark/keep-list stages move only 24-byte
+    (doc_id, seg_idx, h) rows, and the surviving-span text is re-derived
+    expression-side after joining the narrow keep-list back to the
+    corpus — document text crosses exactly one doc_id-partitioned
+    exchange (recompute-over-shuffle, same trade boilerplate_ngrams
+    documents)."""
     k = span_tokens
-    df = (docs.withColumn("_tk", tokens(F.col(text_col)))
-          .withColumn("_n", F.size("_tk")))
-    nseg = F.floor((F.col("_n") + k - 1) / k).cast("int")
-    spans = F.transform(
-        F.sequence(F.lit(0), nseg - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("seg_idx"),
-            F.array_join(F.slice("_tk", i * k + 1, k), " ").alias("seg")))
-    seg_rows = (df.select("doc_id", F.explode(spans).alias("s"))
-                .select("doc_id", "s.seg_idx", "s.seg")
-                .withColumn("h", _md5_int(F.col("seg"))))
+    tk = tokens(F.col(text_col))
+    nseg_of = lambda n: F.floor((n + k - 1) / k).cast("int")  # noqa: E731
+
+    def spans_of(tk_col, n_col):
+        return F.transform(
+            F.sequence(F.lit(0), nseg_of(n_col) - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("seg_idx"),
+                F.array_join(F.slice(tk_col, i * k + 1, k), " ")
+                .alias("seg")))
+
+    df = docs.withColumn("_tk", tk).withColumn("_n", F.size("_tk"))
+    seg_rows = (df.select("doc_id",
+                          F.explode(spans_of(F.col("_tk"),
+                                             F.col("_n"))).alias("s"))
+                .select("doc_id", "s.seg_idx",
+                        _md5_int(F.col("s.seg")).alias("h")))
     winners = (seg_rows.groupBy("h")
                .agg(F.min(F.struct("doc_id", "seg_idx")).alias("w")))
     marked = (seg_rows.join(winners, "h")
               .withColumn("kept",
                           (F.col("doc_id") == F.col("w.doc_id"))
                           & (F.col("seg_idx") == F.col("w.seg_idx"))))
-    return (marked.groupBy("doc_id")
+    keep = (marked.groupBy("doc_id")
             .agg(F.count("*").alias("n_spans"),
                  F.sum(F.col("kept").cast("long")).alias("n_kept"),
-                 F.array_join(
-                     F.transform(
-                         F.array_sort(F.collect_list(
-                             F.when(F.col("kept"),
-                                    F.struct("seg_idx", "seg")))),
-                         lambda s: s["seg"]),
-                     " ").alias("text_dedup")))
+                 F.array_sort(F.collect_list(
+                     F.when(F.col("kept"), F.col("seg_idx"))))
+                 .alias("_keep_idx")))
+    out = df.join(keep, "doc_id")
+    kept_spans = F.filter(
+        spans_of(F.col("_tk"), F.col("_n")),
+        lambda s: F.array_contains("_keep_idx", s["seg_idx"]))
+    return out.select(
+        "doc_id", "n_spans", "n_kept",
+        F.array_join(F.transform(kept_spans, lambda s: s["seg"]), " ")
+        .alias("text_dedup"))
 
 
 # kept for callers that want raw shingle hash arrays

@@ -66,7 +66,16 @@ def test_span_dedup_aggregates_winners_no_per_hash_window(queries):
     plan = _plan(df)
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
-    assert _shuffles(df) <= 3  # winner agg, mark join, per-doc rebuild
+    assert _shuffles(df) <= 3  # winner agg, mark join, keep-list agg
+    # span TEXT must never ride a hash exchange: every exchange's
+    # immediate children carry only (doc_id, seg_idx, h/kept) rows —
+    # surviving-span text is re-derived from the corpus after the
+    # narrow keep-list joins back
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange hashpartitioning" in ln:
+            child = " ".join(lines[i + 1:i + 3])
+            assert "seg#" not in child and "text#" not in child, ln
 
 
 def test_ppl_buckets_thresholds_broadcast_no_rank_window(queries):
