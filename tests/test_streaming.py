@@ -232,3 +232,58 @@ def test_stream_extracts_password_protected_pdfs(spark, tmp_path):
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0].ok
     assert "stream secret" in got[0].text
+
+
+def test_windowed_lineage_drops_late_data_across_runs(spark, tmp_path):
+    """Watermark semantics E2E across micro-batch runs: after the first
+    drain advances the watermark, a second run delivering an event
+    older than (max_ts - watermark) must NOT resurrect or amend its
+    closed window — the late page is dropped from lineage (while a
+    fresh in-time window still lands)."""
+    from datetime import datetime
+
+    from pdf_parser_spark.streaming.job import windowed_lineage
+
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "lineage")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows, "url string, warc_ts timestamp, html binary"
+        ).write.mode("append").parquet(src)
+
+    def drain():
+        pages = (spark.readStream
+                 .schema("url string, warc_ts timestamp, html binary")
+                 .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (windowed_lineage(pages, watermark="1 hour", window="1 hour")
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    t = lambda h, m=0: datetime(2026, 1, 1, h, m)  # noqa: E731
+    # run 1: events at 01:30 and 05:30 -> watermark advances to 04:30,
+    # so the 01:00 window is closed and emitted
+    write_batch([("u1", t(1, 30), b"x"), ("u2", t(5, 30), b"xy")])
+    drain()
+    got1 = spark.read.parquet(out).toPandas()
+    assert t(1) in set(got1.window_start)
+
+    # run 2: one LATE page at 02:00 (behind the 04:30 watermark:
+    # dropped no matter which part-file its micro-batch lands in) and
+    # one in-time page at 07:00 (new open window)
+    write_batch([("late", t(2, 0), b"zzz"), ("u3", t(7, 0), b"z")])
+    drain()
+    # run 3: a later page pushes the watermark past 07:00, closing and
+    # emitting u3's window (separate drain -> deterministic ordering)
+    write_batch([("u4", t(9, 0), b"q")])
+    drain()
+    got2 = spark.read.parquet(out).toPandas()
+    by_start = {ws: int(n) for ws, n in
+                zip(got2.window_start, got2.n_pages)}
+    assert by_start.get(t(2)) is None      # late event never surfaced
+    assert by_start.get(t(7)) == 1         # in-time event emitted
+    assert by_start.get(t(1)) == 1         # closed window not amended
