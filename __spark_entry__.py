@@ -467,6 +467,34 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed crawl-curation capstone over the session's operators:
+    recrawl dedup (newest capture per url) -> C4 span dedup (docs
+    rebuilt from surviving spans) -> model-based quality gate (hashed-
+    ngram classifier on the DEDUPED text) -> FineWeb per-host cap.
+    Every stage is the individually oracle-checked operator; the oracle
+    replays the whole chain as one composed SQL."""
+    from pdf_parser_spark.analytics import classifier, dedup, web
+
+    d = _docs(spark, sf_dir)
+    pages = d.select(
+        F.concat(F.lit("https://site"),
+                 F.pmod("doc_id", F.lit(50)).cast("string"),
+                 F.lit(".example/page")).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000)
+                            + F.col("doc_id") * 3600).alias("warc_ts"),
+        "doc_id")
+    latest = web.latest_captures(pages).select("doc_id")
+    kept = d.select("doc_id", "text").join(latest, "doc_id")
+    sd = dedup.span_dedup(kept)
+    deduped = (sd.where(F.col("n_kept") > 0)
+               .select("doc_id", F.col("text_dedup").alias("text")))
+    good_ids = (classifier.quality_classifier(deduped)
+                .where("label").select("doc_id"))
+    good = deduped.join(good_ids, "doc_id")
+    return web.host_cap(good, k=2)
+
+
 def _q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FineWeb-style per-domain cap: best 3 docs per host via
     partition-local partial top-k + reduced per-host window."""
@@ -886,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_docs": _q_canonical_docs,
         "latest_crawl": _q_latest_crawl,
         "host_cap": _q_host_cap,
+        "crawl_curation": _q_crawl_curation,
         "incremental_dedup": _q_incremental_dedup,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
@@ -912,19 +941,20 @@ def _bpe_oracle_sql() -> str:
     return bpe.oracle_merge_sql("documents", "text")
 
 
-def _quality_clf_oracle_sql() -> str:
+def _quality_clf_oracle_sql(src: str = "documents") -> str:
     """DuckDB replay of the hashed-ngram linear quality classifier: the
     committed integer micro-unit weights are inlined as a list literal,
     the bucket hash mirrors _md5_int % NBUCKETS, and the weight sum is
     an exact int64 list_sum (order-free), so the 6-dp logit is
-    bit-identical to Spark's."""
+    bit-identical to Spark's. ``src`` is any (doc_id, text) relation —
+    the composed crawl_curation capstone scores deduped text."""
     from pdf_parser_spark.analytics.classifier import NBUCKETS, load_weights
 
     bias, w = load_weights()
     wl = "[" + ", ".join(str(x) for x in w) + "]"
     hb = f"({_sql_md5int('x')} % {NBUCKETS})"
     return (
-        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM {src}), "
         "b AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2 THEN "
         "list_transform(range(1, len(tk)), "
         "i -> tk[i] || ' ' || tk[i + 1]) "
@@ -941,6 +971,30 @@ def _quality_clf_oracle_sql() -> str:
         "AS logit, "
         f"round(({float(bias)} + CAST(sw AS DOUBLE) / n) / 1e6, 6) > 0 "
         "AS label FROM s"
+    )
+
+
+def _span_dedup_sql(src: str) -> str:
+    """DuckDB replay of analytics.dedup.span_dedup over any
+    (doc_id, text) relation (the composed capstone runs it on the
+    recrawl-deduped slice)."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM {src}), "
+        "c AS (SELECT doc_id, tk, len(tk) AS n, "
+        "CAST(floor((len(tk) + 15) / 16) AS INT) AS nc FROM t), "
+        "ex AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, "
+        "array_to_string(tk[i * 16 + 1 : i * 16 + 16], ' ') AS seg "
+        "FROM c, unnest(range(0, nc)) r(i)), "
+        "h AS (SELECT doc_id, seg_idx, seg, "
+        + _sql_md5int("seg") + " AS hh FROM ex), "
+        "m AS (SELECT *, row_number() OVER (PARTITION BY hh "
+        "ORDER BY doc_id, seg_idx) AS rn FROM h) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_kept, "
+        "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' "
+        "ORDER BY seg_idx), '') AS text_dedup "
+        "FROM m GROUP BY doc_id"
     )
 
 
@@ -1174,6 +1228,33 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jaccard >= 0.5"
         ),
         "dedup_clusters": clusters_sql,
+        "crawl_curation": (
+            "WITH lt AS (SELECT p.doc_id FROM "
+            "(SELECT concat('https://site', "
+            "CAST(doc_id % 50 AS VARCHAR), '.example/page') AS url, "
+            "1700000000 + doc_id * 3600 AS ep, doc_id "
+            "FROM documents) p JOIN "
+            "(SELECT concat('https://site', "
+            "CAST(doc_id % 50 AS VARCHAR), '.example/page') AS url, "
+            "max(1700000000 + doc_id * 3600) AS mep FROM documents "
+            "GROUP BY url) a ON a.url = p.url AND a.mep = p.ep), "
+            "kept AS (SELECT d.doc_id, d.text FROM documents d "
+            "JOIN lt ON d.doc_id = lt.doc_id), "
+            f"dd0 AS ({_span_dedup_sql('kept')}), "
+            "dd AS (SELECT doc_id, text_dedup AS text FROM dd0 "
+            "WHERE n_kept > 0), "
+            f"clf AS ({_quality_clf_oracle_sql('dd')}), "
+            "good AS (SELECT dd.doc_id, dd.text FROM dd "
+            "JOIN clf ON dd.doc_id = clf.doc_id AND clf.label), "
+            "hq AS (SELECT doc_id, concat('site', "
+            "CAST(doc_id % 97 AS VARCHAR), '.example') AS host, "
+            f"{quality_score_sql} AS q FROM good), "
+            "r AS (SELECT host, doc_id, q, row_number() OVER ("
+            "PARTITION BY host ORDER BY q DESC, doc_id ASC) AS rn "
+            "FROM hq) "
+            "SELECT host, doc_id, q AS quality_score, "
+            "CAST(rn AS INT) AS host_rank FROM r WHERE rn <= 2"
+        ),
         "host_cap": (
             "WITH d AS (SELECT doc_id, "
             "concat('site', CAST(doc_id % 97 AS VARCHAR), '.example') "
@@ -1428,24 +1509,7 @@ def oracle_sql() -> dict[str, str]:
             "WHEN avg_nll <= c2 THEN 'middle' ELSE 'tail' END AS bucket "
             "FROM lmq CROSS JOIN cuts"
         ),
-        "span_dedup": (
-            f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
-            "c AS (SELECT doc_id, tk, len(tk) AS n, "
-            "CAST(floor((len(tk) + 15) / 16) AS INT) AS nc FROM t), "
-            "ex AS (SELECT doc_id, CAST(i AS BIGINT) AS seg_idx, "
-            "array_to_string(tk[i * 16 + 1 : i * 16 + 16], ' ') AS seg "
-            "FROM c, unnest(range(0, nc)) r(i)), "
-            "h AS (SELECT doc_id, seg_idx, seg, "
-            + _sql_md5int("seg") + " AS hh FROM ex), "
-            "m AS (SELECT *, row_number() OVER (PARTITION BY hh "
-            "ORDER BY doc_id, seg_idx) AS rn FROM h) "
-            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
-            "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_kept, "
-            "coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' "
-            "ORDER BY seg_idx), '') AS text_dedup "
-            "FROM m GROUP BY doc_id"
-        ),
+        "span_dedup": _span_dedup_sql("documents"),
         "quality_classifier": _quality_clf_oracle_sql(),
         "sample_corpus": (
             "SELECT doc_id, lang FROM documents WHERE "
