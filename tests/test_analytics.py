@@ -1038,3 +1038,26 @@ def test_host_cap_limits_per_host_and_is_partition_invariant(spark):
     dropped_q = [q for d, q in all_q.items()
                  if d not in {r.doc_id for r in by_host["site0.example"]}]
     assert all(q <= kept_q for q in dropped_q)
+
+
+def test_span_dedup_is_identity_on_duplicate_free_corpus(spark):
+    """With every 16-token span globally unique, span_dedup must be a
+    pure identity (n_kept == n_spans, reconstruction == whitespace-
+    normalized text) — including non-multiple-of-16 tails and a
+    single-token doc."""
+    from pdf_parser_spark.analytics import dedup
+
+    rows = []
+    word = 0
+    for i, n_tok in enumerate([1, 15, 16, 17, 33, 48]):
+        toks = [f"w{word + j}" for j in range(n_tok)]
+        word += n_tok
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup.span_dedup(docs).collect()}
+    for i, (doc_id, text) in enumerate(rows):
+        n_tok = len(text.split())
+        expect_spans = (n_tok + 15) // 16
+        assert got[doc_id].n_spans == expect_spans, doc_id
+        assert got[doc_id].n_kept == expect_spans, doc_id
+        assert got[doc_id].text_dedup == text, doc_id
