@@ -467,6 +467,14 @@ def _q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lm_quality(_docs(spark, sf_dir))
 
 
+def _q_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (tokenizer-training input): token totals +
+    document frequency, hapax-pruned, one grouped aggregation."""
+    from pdf_parser_spark.analytics import text as T
+
+    return T.vocabulary(_docs(spark, sf_dir))
+
+
 def _q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed crawl-curation capstone over the session's operators:
     recrawl dedup (newest capture per url) -> C4 span dedup (docs
@@ -915,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_crawl": _q_latest_crawl,
         "host_cap": _q_host_cap,
         "crawl_curation": _q_crawl_curation,
+        "vocabulary": _q_vocabulary,
         "incremental_dedup": _q_incremental_dedup,
         "pii_features": _q_pii,
         "boilerplate_ngrams": _q_boilerplate,
@@ -1228,6 +1237,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE jaccard >= 0.5"
         ),
         "dedup_clusters": clusters_sql,
+        "vocabulary": (
+            f"WITH e AS (SELECT doc_id, unnest({_TOKS}) AS token "
+            "FROM documents) "
+            "SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM e GROUP BY token HAVING count(*) >= 2"
+        ),
         "crawl_curation": (
             "WITH lt AS (SELECT p.doc_id FROM "
             "(SELECT concat('https://site', "

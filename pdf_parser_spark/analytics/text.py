@@ -412,3 +412,24 @@ def ppl_buckets(docs: DataFrame, text_col: str = "text",
         return result, scored
     result.lsh_persisted_base = scored
     return result
+
+
+def vocabulary(docs: DataFrame, text_col: str = "text",
+               min_count: int = 2) -> DataFrame:
+    """Corpus vocabulary: per-token total occurrences and document
+    frequency, pruned to tokens seen >= ``min_count`` times — the input
+    table for tokenizer training (tools/train_bpe.py consumes exactly
+    these counts) and for OOV/coverage analysis.
+
+    Plan shape for 100 TB: explode narrow (doc_id, token) rows, ONE
+    grouped aggregation; count(*) partial-aggregates map-side and the
+    distinct-doc count uses the two-phase (token, doc_id) expand —
+    shuffles carry token-keyed partial rows only, never text. The
+    min_count filter prunes the hapax-dominated tail (~half of a web
+    corpus's distinct tokens) before any consumer join."""
+    toks = (docs.select("doc_id",
+                        F.explode(tokens(F.col(text_col))).alias("token")))
+    return (toks.groupBy("token")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.count_distinct("doc_id").alias("n_docs"))
+            .where(F.col("n_occurrences") >= min_count))

@@ -1061,3 +1061,14 @@ def test_span_dedup_is_identity_on_duplicate_free_corpus(spark):
         assert got[doc_id].n_spans == expect_spans, doc_id
         assert got[doc_id].n_kept == expect_spans, doc_id
         assert got[doc_id].text_dedup == text, doc_id
+
+
+def test_vocabulary_counts_and_hapax_pruning(spark):
+    from pdf_parser_spark.analytics import text as T
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c c rare")], "doc_id long, text string")
+    got = {r.token: r for r in T.vocabulary(docs).collect()}
+    assert set(got) == {"a", "c"}          # b/rare are hapaxes, pruned
+    assert got["a"].n_occurrences == 3 and got["a"].n_docs == 2
+    assert got["c"].n_occurrences == 2 and got["c"].n_docs == 1
