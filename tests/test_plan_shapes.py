@@ -38,7 +38,7 @@ def queries(spark):
                 "boilerplate_ngrams", "bpe_token_counts", "lang_features",
                 "tpch_q3", "tpch_q6",
                 "quality_classifier", "span_dedup", "ppl_buckets",
-                "latest_crawl", "host_cap",
+                "latest_crawl", "host_cap", "crawl_curation",
             }}
 
 
@@ -102,6 +102,19 @@ def test_host_cap_is_two_stage_topk(queries):
     assert "MapInPandas" in plan
     win_at = plan.index("Window")
     assert "MapInPandas" in plan[win_at:]  # partial stage feeds the window
+
+
+def test_crawl_curation_chain_stays_relational(queries):
+    """The 4-stage composed capstone must not degrade into any of the
+    scale-killers: no cartesian product, no row-at-a-time Python (the
+    only Python boundary is host_cap's partial top-k kernel), and no
+    per-hash/global windows beyond host_cap's reduced one."""
+    df = queries["crawl_curation"]
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan     # no row-at-a-time UDFs
+    assert "ArrowEvalPython" not in plan     # all stages JVM expressions
+    assert plan.count("MapInPandas") == 1    # host_cap partial top-k only
 
 
 def test_latest_crawl_is_one_combinable_aggregate(queries):
