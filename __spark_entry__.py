@@ -938,7 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --- DuckDB oracle SQL fragments ------------------------------------------
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = "string_split_regex(trim(text, ' '), '\\s+')"
 
 
 def _bpe_oracle_sql() -> str:
@@ -1115,7 +1115,7 @@ def oracle_sql() -> dict[str, str]:
         red = f"regexp_replace({red}, '{pat}', '[PII:{kind}]', 'g')"
 
     roundtrip = (
-        "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) "
+        "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ') "
         "AS extracted FROM documents"
     )
     lang_hits = _lang_hits_sql()
@@ -1181,7 +1181,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_parity_by_lang": (
             "SELECT lang, count(*) AS n_docs, "
-            "CAST(sum(len(string_split_regex(trim(text), '\\s+')) "
+            "CAST(sum(len(string_split_regex(trim(text, ' '), '\\s+')) "
             "    * CASE WHEN doc_id % 500 = 0 AND doc_id <> 0 "
             "           THEN 50 ELSE 1 END) AS BIGINT) AS sum_tokens "
             "FROM documents WHERE doc_id % 20 <> 0 GROUP BY lang"
@@ -1193,8 +1193,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_stats": (
             "SELECT doc_id, "
-            "len(string_split_regex(trim(text), '\\s+')) AS n_tokens, "
-            "len(list_distinct(string_split_regex(trim(text), '\\s+'))) "
+            "len(string_split_regex(trim(text, ' '), '\\s+')) AS n_tokens, "
+            "len(list_distinct(string_split_regex(trim(text, ' '), '\\s+'))) "
             "  AS n_distinct_tokens, "
             "length(text) AS n_chars FROM documents"
         ),
@@ -1368,7 +1368,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "concat('# Document ', CAST(doc_id AS VARCHAR)) "
             "AS front_matter, "
-            "trim(regexp_replace(text, '\\s+', ' ', 'g')) AS body "
+            "trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS body "
             "FROM documents"
         ),
         "ann_brute_topk": (

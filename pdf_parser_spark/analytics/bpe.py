@@ -32,7 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WS = re.compile(r"\s+")
+# ASCII-only: the DuckDB oracle's RE2 '\s+' and Spark's Java '\s+' split
+# on ASCII whitespace only, while Python's Unicode '\s' also matches
+# U+00A0/U+2028 etc. — re.ASCII keeps all three engines agreeing on word
+# boundaries (a doc containing 'a\xa0b' must encode identically).
+_WS = re.compile(r"\s+", re.ASCII)
 
 
 @functools.lru_cache(maxsize=1)
@@ -75,9 +79,12 @@ def encode_word(word: str) -> tuple[str, ...]:
 
 
 def count_tokens(text: str) -> int:
-    if not text or not text.strip():
+    # .strip(" ") not .strip(): Spark's F.trim and DuckDB's trim() remove
+    # only space characters, and Python's default strip would also eat
+    # \xa0/\t at the edges — all three engines must see identical words.
+    if not text:
         return 0
-    return sum(len(encode_word(w)) for w in _WS.split(text.strip()))
+    return sum(len(encode_word(w)) for w in _WS.split(text.strip(" ")))
 
 
 def bpe_token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -117,7 +124,7 @@ def oracle_merge_sql(table: str = "documents",
     return f"""
 WITH RECURSIVE
 wordlist AS (
-  SELECT doc_id, string_split(regexp_replace(trim({text_col}),
+  SELECT doc_id, string_split(regexp_replace(trim({text_col}, ' '),
                                              '\\s+', ' ', 'g'), ' ') AS ws
   FROM {table}),
 words AS (SELECT DISTINCT unnest(ws) AS w FROM wordlist),
@@ -144,7 +151,7 @@ per_doc AS (
   JOIN final f ON l.w = f.w
   GROUP BY l.doc_id)
 SELECT d.doc_id,
-       len(string_split_regex(trim(d.{text_col}), '\\s+')) AS ws_tokens,
+       len(string_split_regex(trim(d.{text_col}, ' '), '\\s+')) AS ws_tokens,
        CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
        len(regexp_extract_all(d.{text_col},
            '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS regex_tokens

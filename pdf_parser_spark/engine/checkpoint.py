@@ -61,6 +61,19 @@ def _check_layout(root: str, layout: str) -> None:
                 f"a fresh --out/--snapshot (or rerun with the original "
                 f"layout)")
         return
+    # No _layout file: only safe if the root is genuinely fresh. A root
+    # that already holds a manifest or data dir predates layout stamping
+    # (written under an unknown partition rule) — stamping the CURRENT
+    # layout would let resume recompute part_ids under a changed rule and
+    # silently skip/duplicate, exactly what this guard exists to prevent.
+    for legacy in ("manifest", "data"):
+        if os.path.exists(os.path.join(root, legacy)):
+            raise ValueError(
+                f"checkpoint at {root} contains {legacy}/ but no _layout "
+                f"record — it predates partition-layout stamping and its "
+                f"part_ids cannot be verified against the current rule; "
+                f"refusing to resume. Start a fresh --out/--snapshot (or "
+                f"restore the original _layout file if the rule is known)")
     os.makedirs(root, exist_ok=True)
     with open(path, "w") as f:
         f.write(layout)

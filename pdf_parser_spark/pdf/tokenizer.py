@@ -516,6 +516,7 @@ class _Doc:
         except ValueError:
             return None
         objs: dict[int, int] = {}
+        freed: set[int] = set()
         seen: set[int] = set()
         while pos and pos not in seen and 0 < pos < len(self.data):
             seen.add(pos)
@@ -523,19 +524,28 @@ class _Doc:
                 # xref stream (PDF 1.5+) or damage: fall back (a mixed
                 # classic/stream chain is handled by _parse_xref_stream)
                 return None
-            section, prev = self._parse_xref_section(pos + 4)
+            section, section_freed, prev = self._parse_xref_section(
+                pos + 4)
             if section is None:
                 return None
             for num, off in section.items():
-                objs.setdefault(num, off)  # newer section wins
+                if num not in freed:  # deleted in a NEWER section stays
+                    objs.setdefault(num, off)  # ...deleted; newest wins
+            freed |= section_freed
             pos = prev
         return objs or None
 
-    def _parse_xref_section(self,
-                            i: int) -> tuple[dict[int, int] | None, int]:
+    def _parse_xref_section(
+            self, i: int,
+    ) -> tuple[dict[int, int] | None, set[int], int]:
         """One classic xref section starting after the 'xref' keyword:
-        returns (entries, /Prev offset or 0); (None, 0) on damage."""
+        returns (live entries, freed object numbers, /Prev offset or 0);
+        (None, set(), 0) on damage. Freed ('f') entries are reported so
+        the /Prev walk can stop an OLDER section resurrecting an object
+        an incremental update deleted (§7.5.4: the newest entry for an
+        object number is authoritative, including type-f)."""
         objs: dict[int, int] = {}
+        freed: set[int] = set()
         while True:
             m = re.match(rb"\s*(\d+)\s+(\d+)\s*", self.data[i : i + 40])
             if not m:
@@ -545,14 +555,16 @@ class _Doc:
             for k in range(count):
                 e = _XREF_ENTRY_RE.match(self.data, i)
                 if not e:
-                    return None, 0  # malformed entry: distrust table
+                    return None, set(), 0  # malformed: distrust table
                 i += 20
                 if e.group(3) == b"n":
                     off = int(e.group(1))
                     om = _OBJ_RE.match(self.data, off)
                     if om is None or int(om.group(1)) != start + k:
-                        return None, 0  # stale offset: fall back to scan
+                        return None, set(), 0  # stale: fall back to scan
                     objs[start + k] = om.end()
+                else:
+                    freed.add(start + k)
         prev = 0
         tm = re.match(rb"\s*trailer\s*", self.data[i : i + 40])
         if tm:
@@ -562,7 +574,7 @@ class _Doc:
                 td = None
             if isinstance(td, dict) and isinstance(td.get("Prev"), int):
                 prev = td["Prev"]
-        return objs, prev
+        return objs, freed, prev
 
     def _parse_xref_stream(self) -> dict[int, int] | None:
         """PDF 1.5+ cross-reference STREAM (/Type /XRef): binary entry
@@ -573,6 +585,7 @@ class _Doc:
         if not starts:
             return None
         objs: dict[int, int] = {}
+        freed: set[int] = set()  # type-0 in a newer section = deleted
         pos = int(starts[-1].group(1))  # the LAST startxref is live
         seen: set[int] = set()
         while pos and pos not in seen and 0 < pos < len(self.data):
@@ -618,14 +631,17 @@ class _Doc:
                     f3 = field(raw, off + w0 + w1, w2, 0)
                     num = first + i
                     off += entry_len
-                    if num in objs or num in self.compressed:
-                        continue  # newest xref section wins
+                    if (num in objs or num in self.compressed
+                            or num in freed):
+                        continue  # newest xref section wins (incl. free)
                     if typ == 1:
                         am = _OBJ_RE.match(self.data, f2)
                         if am and int(am.group(1)) == num:
                             objs[num] = am.end()
                     elif typ == 2:
                         self.compressed[num] = (f2, f3)
+                    elif typ == 0:
+                        freed.add(num)  # stop older sections reviving it
             prev = d.get("Prev")
             pos = int(prev) if isinstance(prev, (int, float)) else 0
         return objs or (dict() if self.compressed else None)

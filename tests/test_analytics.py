@@ -293,6 +293,29 @@ def test_bpe_duckdb_replay_agrees_on_random_words():
         assert got[i] == expect, (w, got[i], expect)
 
 
+def test_bpe_count_tokens_unicode_whitespace_parity():
+    """Word-boundary parity across engines (ADVICE r4): Python's \\s is
+    Unicode (matches \\xa0, \\u2028) while DuckDB RE2 and Java \\s are
+    ASCII-only, and Python str.strip() eats Unicode edges while
+    F.trim/trim() strip spaces only. Docs containing Unicode whitespace
+    must still count identically in the UDF and the oracle replay."""
+    import duckdb
+
+    from pdf_parser_spark.analytics import bpe
+
+    docs = ["a\xa0b", "\xa0x y", "a b", "tab\there",
+            "  lead trail  ", "\xa0", "\t", "ordinary words here"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT row_number() OVER () - 1 "
+        "AS doc_id, w AS text FROM (SELECT unnest(?) AS w)", [docs])
+    got = {r[0]: r[2] for r in con.execute(
+        bpe.oracle_merge_sql("documents", "text")).fetchall()}
+    for i, d in enumerate(docs):
+        assert got[i] == bpe.count_tokens(d), (d, got[i],
+                                               bpe.count_tokens(d))
+
+
 def test_bpe_committed_merges_pinned():
     """Drift guard for the committed merges table: known words encode to
     known subword sequences (regenerate with tools/train_bpe.py and

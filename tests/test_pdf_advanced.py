@@ -891,6 +891,42 @@ def test_incremental_update_classic_xref_prev_chain():
     assert "original body" in text
 
 
+def test_incremental_update_freed_object_not_resurrected():
+    """An object marked free ('f') in a NEWER incremental xref section
+    must stay deleted — the /Prev walk must not resurrect it from an
+    older section's live entry (spec §7.5.4: newest entry per object
+    number is authoritative, including type-f deletions)."""
+    import re
+
+    from pdf_parser_spark.pdf.tokenizer import _Doc
+    from pdf_parser_spark.pdf.writer import Page, Text, build_pdf
+
+    base = build_pdf([Page(texts=[Text(72, 700, "kept body")])])
+    orig_start = int(re.search(rb"startxref\s+(\d+)", base).group(1))
+    # update 1: ADD object 90 (live), /Prev -> original table
+    new_num = 90
+    obj_off = len(base)
+    update_obj = (b"%d 0 obj\n<< /Title (temp) >>\nendobj\n" % new_num)
+    xref1_off = obj_off + len(update_obj)
+    upd1 = (update_obj
+            + b"xref\n%d 1\n%010d 00000 n \n" % (new_num, obj_off)
+            + b"trailer\n<< /Prev %d >>\n" % orig_start
+            + b"startxref\n%d\n%%%%EOF\n" % xref1_off)
+    # update 2: FREE object 90, /Prev -> update-1 table
+    with_obj = base + upd1
+    xref2_off = len(with_obj)
+    upd2 = (b"xref\n%d 1\n0000000000 00001 f \n" % new_num
+            + b"trailer\n<< /Prev %d >>\n" % xref1_off
+            + b"startxref\n%d\n%%%%EOF\n" % xref2_off)
+
+    doc_live = _Doc(with_obj)
+    assert new_num in doc_live.objs  # sanity: update 1 resolves it
+    doc = _Doc(with_obj + upd2)
+    assert new_num not in doc.objs   # freed entry wins over older 'n'
+    # untouched objects still resolve through the full /Prev chain
+    assert set(doc_live.objs) - {new_num} <= set(doc.objs)
+
+
 def test_bfrange_array_destination_form():
     """ToUnicode bfrange with the spec's array form 'lo hi [d1 d2 d3]'
     maps one destination per code and does NOT poison later ranges."""

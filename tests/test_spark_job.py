@@ -241,6 +241,34 @@ def test_checkpoint_refuses_foreign_partition_layout(spark, tmp_path):
     assert len(checkpoint.completed_partitions(spark, root, "s1")) == 4
 
 
+def test_checkpoint_refuses_legacy_root_without_layout(spark, tmp_path):
+    """ADVICE r4: a root holding a manifest (or data dir) but NO _layout
+    file predates layout stamping — its part_ids were computed under an
+    unknown rule, so resume must refuse rather than stamp the CURRENT
+    layout and silently skip/duplicate under a changed rule."""
+    import os
+
+    import pytest
+
+    from pdf_parser_spark.engine import checkpoint, source
+    from tests.conftest import SF0001
+
+    root = str(tmp_path / "legacy_ck")
+    pages = source.pages_table(spark, SF0001, n_partitions=4)
+    checkpoint.run_checkpointed(spark, pages, root, "s1", n_partitions=4,
+                                chunk_size=2, fail_after_chunks=1)
+    os.remove(os.path.join(root, "_layout"))  # simulate pre-change root
+    with pytest.raises(ValueError, match="no _layout"):
+        checkpoint.run_checkpointed(spark, pages, root, "s1",
+                                    n_partitions=4, chunk_size=2)
+    # restoring the original layout record re-enables resume
+    with open(os.path.join(root, "_layout"), "w") as f:
+        f.write(checkpoint._layout_id(False, 4))
+    checkpoint.run_checkpointed(spark, pages, root, "s1", n_partitions=4,
+                                chunk_size=2)
+    assert len(checkpoint.completed_partitions(spark, root, "s1")) == 4
+
+
 def test_checkpoint_refuses_different_n_partitions(spark, tmp_path):
     """Same layout rule, different --partitions: part_id = pmod(hash, n)
     changes for every doc, so resume must refuse (the layout id encodes

@@ -265,9 +265,14 @@ def test_windowed_lineage_drops_late_data_across_runs(spark, tmp_path):
         q.awaitTermination()
 
     t = lambda h, m=0: datetime(2026, 1, 1, h, m)  # noqa: E731
-    # run 1: events at 01:30 and 05:30 -> watermark advances to 04:30,
-    # so the 01:00 window is closed and emitted
-    write_batch([("u1", t(1, 30), b"x"), ("u2", t(5, 30), b"xy")])
+    # run 1: event at 01:30 first (own drain — with maxFilesPerTrigger=1
+    # a single multi-file write has no guaranteed file order, and if the
+    # 05:30 file were consumed first its watermark would drop the 01:30
+    # event as late), then 05:30 -> watermark advances to 04:30, so the
+    # 01:00 window is closed and emitted
+    write_batch([("u1", t(1, 30), b"x")])
+    drain()
+    write_batch([("u2", t(5, 30), b"xy")])
     drain()
     got1 = spark.read.parquet(out).toPandas()
     assert t(1) in set(got1.window_start)
