@@ -13,6 +13,16 @@ Semantics mirrored from Iceberg:
   * reads are snapshot-isolated: a reader pins one manifest's file list;
     concurrent appends never change what it sees
   * time travel: read any historical snapshot id
+  * lifecycle (round 5 — a 10^12-doc table is MAINTAINED, not only
+    grown): ``expire_snapshots`` drops old manifests and
+    garbage-collects data files no remaining snapshot references;
+    ``compact`` rewrites small files into large ones as a data-identical
+    'replace' snapshot (old readers keep their pinned files);
+    ``delete_where`` removes rows by predicate with Iceberg-style
+    file-level pruning — per-file column bounds recorded in the
+    manifest at commit time classify each file as drop-whole /
+    keep-whole / rewrite, so a partition-aligned delete touches no
+    surviving data.
 The commit point is the atomic rename of the manifest json (same
 manifest-last discipline as engine.checkpoint).
 """
@@ -75,6 +85,47 @@ def _merge_schema(parent: dict, new: dict) -> dict:
     return out
 
 
+def _file_bounds(path: str) -> dict[str, dict]:
+    """Per-column {min,max,nulls,rows} from the parquet FOOTER (no data
+    read) — the manifest-level stats Iceberg keeps per data file. Only
+    int/float columns are recorded: parquet string min/max may be
+    truncated by writers, which would make drop-whole-file
+    classification unsound (strings simply take the rewrite path)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested: no file-level pruning
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                out.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if not (isinstance(mn, (int, float))
+                    and not isinstance(mn, bool)):
+                continue
+            nulls = st.null_count if st.has_null_count else None
+            cur = out.get(name)
+            if rg > 0 and cur is None:
+                continue  # an earlier row group lacked stats
+            if cur is None:
+                out[name] = {"min": mn, "max": mx, "nulls": nulls,
+                             "rows": g.num_rows}
+            else:
+                cur["min"] = min(cur["min"], mn)
+                cur["max"] = max(cur["max"], mx)
+                cur["nulls"] = (None if None in (cur["nulls"], nulls)
+                                else cur["nulls"] + nulls)
+                cur["rows"] += g.num_rows
+    return out
+
+
 def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     """Write df as a new snapshot; returns the new snapshot id."""
     assert mode in ("append", "overwrite")
@@ -108,19 +159,31 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     snaps = _snapshots(table_dir)
     seq = snaps[-1][0] + 1 if snaps else 1
     parent_files: list[str] = []
+    parent_bounds: dict[str, dict] = {}
     parent_id = None
     if mode == "append" and snaps:
         parent_id = snaps[-1][1]
-        parent_files = _manifest(table_dir, parent_id)["files"]
+        pm = _manifest(table_dir, parent_id)
+        parent_files = pm["files"]
+        parent_bounds = pm.get("bounds", {})
 
     sdir = os.path.join(table_dir, "snapshots")
     os.makedirs(sdir, exist_ok=True)
+    bounds = dict(parent_bounds)
+    for f in new_files:
+        bounds[f] = _file_bounds(os.path.join(data_dir, f))
     manifest = {
         "snapshot_id": snap_id,
         "sequence": seq,
         "parent": parent_id,
         "operation": mode,
         "files": parent_files + new_files,
+        # files that carry rows NEW in this snapshot (incremental scan
+        # reads these, never the full file-list diff — a later compact
+        # rewrites the file list without adding data)
+        "added": new_files,
+        # per-file footer stats for manifest-level pruning (delete_where)
+        "bounds": bounds,
         # the snapshot's CURRENT schema (Iceberg: schema rides the
         # metadata, not the data files) — an append with new columns
         # evolves the table schema by UNION with the parent's (see
@@ -129,11 +192,19 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
         # predate
         "schema": schema,
     }
+    _write_manifest(table_dir, seq, snap_id, manifest)
+    return snap_id
+
+
+def _write_manifest(table_dir: str, seq: int, snap_id: str,
+                    manifest: dict) -> None:
+    """Atomic manifest publish — the commit point for every operation."""
+    sdir = os.path.join(table_dir, "snapshots")
+    os.makedirs(sdir, exist_ok=True)
     tmp = os.path.join(sdir, f".tmp-{snap_id}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
     os.rename(tmp, os.path.join(sdir, f"{seq}-{snap_id}.json"))  # COMMIT
-    return snap_id
 
 
 def _read_files(spark: SparkSession, table_dir: str,
@@ -181,17 +252,234 @@ def read_appends(spark: SparkSession, table_dir: str,
     i_from, i_to = ids.index(from_snapshot), ids.index(to_snapshot)
     if i_to < i_from:
         raise ValueError("to_snapshot precedes from_snapshot")
+    # new data = the per-snapshot ADDED file lists, not the file-list
+    # diff: a compaction ('replace') in the range rewrites the file list
+    # without adding rows and is skipped; overwrite/delete/rollback
+    # change visible rows non-monotonically, so the delta is not
+    # expressible as added files (same contract as Iceberg)
+    new: list[str] = []
     for _, snap, _ in snaps[i_from + 1 : i_to + 1]:
-        if _manifest(table_dir, snap)["operation"] != "append":
+        m = _manifest(table_dir, snap)
+        op = m["operation"]
+        if op == "replace":
+            continue
+        if op != "append":
             raise ValueError(
-                f"snapshot {snap} is an overwrite — incremental append "
+                f"snapshot {snap} is a {op} — incremental append "
                 "scan undefined across it")
-    base = set(_manifest(table_dir, from_snapshot)["files"])
+        added = m.get("added")
+        if added is None:  # pre-'added' manifest: parent file-list diff
+            parent = m.get("parent")
+            base = (set(_manifest(table_dir, parent)["files"])
+                    if parent else set())
+            added = [f for f in m["files"] if f not in base]
+        new.extend(added)
     to_manifest = _manifest(table_dir, to_snapshot)
-    new = [f for f in to_manifest["files"] if f not in base]
     if not new:
         return read_snapshot(spark, table_dir, to_snapshot).limit(0)
+    missing = [f for f in new
+               if not os.path.exists(os.path.join(table_dir, "data", f))]
+    if missing:
+        raise FileNotFoundError(
+            f"incremental scan needs expired data files {missing[:3]} — "
+            f"the range crosses snapshots whose files were "
+            f"garbage-collected by expire_snapshots")
     return _read_files(spark, table_dir, to_manifest, new)
+
+
+def compact(spark: SparkSession, table_dir: str,
+            small_bytes: int = 32 * 1024 * 1024,
+            target_bytes: int = 128 * 1024 * 1024) -> str | None:
+    """Small-file compaction (Iceberg rewrite_data_files): rewrite the
+    current snapshot's files smaller than ``small_bytes`` into
+    ~``target_bytes`` files and publish a data-identical 'replace'
+    snapshot. Old readers keep their pinned file lists untouched (the
+    small files stay on disk until ``expire_snapshots`` collects them);
+    incremental scans skip the replace snapshot entirely. Returns the
+    new snapshot id, or None when <2 small files (nothing to gain).
+
+    At 10^12 docs this runs as routine maintenance after every crawl
+    increment: a 1000-executor append leaves one file per task, and an
+    unmaintained table's scan planning degrades with file count long
+    before data size matters."""
+    cur = current_snapshot(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    m = _manifest(table_dir, cur)
+    data_dir = os.path.join(table_dir, "data")
+    smalls = [f for f in m["files"]
+              if os.path.getsize(os.path.join(data_dir, f)) < small_bytes]
+    if len(smalls) < 2:
+        return None
+    total = sum(os.path.getsize(os.path.join(data_dir, f))
+                for f in smalls)
+    n_out = max(1, -(-total // target_bytes))  # ceil
+    df = _read_files(spark, table_dir, m, smalls).coalesce(int(n_out))
+
+    snap_id = uuid.uuid4().hex[:12]
+    staging = os.path.join(table_dir, f"_staging_{snap_id}")
+    df.write.mode("overwrite").parquet(staging)
+    new_files = []
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dst = f"{snap_id}-{name}"
+            os.rename(os.path.join(staging, name),
+                      os.path.join(data_dir, dst))
+            new_files.append(dst)
+    for name in os.listdir(staging):
+        os.remove(os.path.join(staging, name))
+    os.rmdir(staging)
+
+    keep = [f for f in m["files"] if f not in set(smalls)]
+    bounds = {f: b for f, b in m.get("bounds", {}).items() if f in
+              set(keep)}
+    for f in new_files:
+        bounds[f] = _file_bounds(os.path.join(data_dir, f))
+    seq = _snapshots(table_dir)[-1][0] + 1
+    manifest = {
+        "snapshot_id": snap_id, "sequence": seq, "parent": cur,
+        "operation": "replace",  # data-identical rewrite
+        "files": keep + new_files,
+        "added": [],             # no new ROWS: incremental scans skip it
+        "bounds": bounds,
+        "compacted": {"small_files": len(smalls),
+                      "new_files": len(new_files)},
+        **({"schema": m["schema"]} if "schema" in m else {}),
+    }
+    _write_manifest(table_dir, seq, snap_id, manifest)
+    return snap_id
+
+
+_DELETE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def delete_where(spark: SparkSession, table_dir: str, column: str,
+                 op: str, value) -> tuple[str, dict]:
+    """Predicate delete with manifest-level file pruning (Iceberg
+    copy-on-write delete): each current-snapshot file is classified from
+    its recorded footer bounds as drop-whole (every row matches —
+    requires zero nulls), keep-whole (no row can match), or rewrite
+    (overlapping range / no stats). Only rewrite files are ever read.
+    A delete aligned with the write partitioning (e.g. drop a crawl's
+    warc_ts day on a table appended per-day) drops whole files and
+    reads NOTHING. Rows where ``column`` IS NULL never match (SQL
+    comparison semantics) and are always kept.
+
+    Returns (new snapshot id, {"dropped": n, "kept": n, "rewritten": n}).
+    Old snapshots still see the deleted rows (immutable history) until
+    expire_snapshots collects their files."""
+    if op not in _DELETE_OPS:
+        raise ValueError(f"op must be one of {_DELETE_OPS}")
+    cur = current_snapshot(table_dir)
+    if cur is None:
+        raise FileNotFoundError(f"no snapshots in {table_dir}")
+    m = _manifest(table_dir, cur)
+    bounds = m.get("bounds", {})
+
+    def classify(f: str) -> str:
+        b = bounds.get(f, {}).get(column)
+        if not b:
+            return "rewrite"
+        mn, mx, nulls = b["min"], b["max"], b["nulls"]
+        no_nulls = nulls == 0
+        all_, none = False, False
+        if op == "=":
+            all_ = no_nulls and mn == value and mx == value
+            none = value < mn or value > mx
+        elif op == "<":
+            all_, none = no_nulls and mx < value, mn >= value
+        elif op == "<=":
+            all_, none = no_nulls and mx <= value, mn > value
+        elif op == ">":
+            all_, none = no_nulls and mn > value, mx <= value
+        elif op == ">=":
+            all_, none = no_nulls and mn >= value, mx < value
+        return "drop" if all_ else ("keep" if none else "rewrite")
+
+    groups: dict[str, list[str]] = {"drop": [], "keep": [], "rewrite": []}
+    for f in m["files"]:
+        groups[classify(f)].append(f)
+
+    data_dir = os.path.join(table_dir, "data")
+    snap_id = uuid.uuid4().hex[:12]
+    new_files: list[str] = []
+    if groups["rewrite"]:
+        from pyspark.sql import functions as F
+
+        pred = {"=": F.col(column) == value,
+                "<": F.col(column) < value,
+                "<=": F.col(column) <= value,
+                ">": F.col(column) > value,
+                ">=": F.col(column) >= value}[op]
+        survivors = (_read_files(spark, table_dir, m, groups["rewrite"])
+                     .filter(~pred | F.col(column).isNull()))
+        staging = os.path.join(table_dir, f"_staging_{snap_id}")
+        survivors.write.mode("overwrite").parquet(staging)
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                dst = f"{snap_id}-{name}"
+                os.rename(os.path.join(staging, name),
+                          os.path.join(data_dir, dst))
+                new_files.append(dst)
+        for name in os.listdir(staging):
+            os.remove(os.path.join(staging, name))
+        os.rmdir(staging)
+
+    keep_set = set(groups["keep"])
+    new_bounds = {f: b for f, b in bounds.items() if f in keep_set}
+    for f in new_files:
+        new_bounds[f] = _file_bounds(os.path.join(data_dir, f))
+    seq = _snapshots(table_dir)[-1][0] + 1
+    manifest = {
+        "snapshot_id": snap_id, "sequence": seq, "parent": cur,
+        "operation": "delete",
+        "predicate": {"column": column, "op": op, "value": value},
+        "files": groups["keep"] + new_files,
+        "added": [],
+        "bounds": new_bounds,
+        "deleted": {"dropped_files": len(groups["drop"]),
+                    "kept_files": len(groups["keep"]),
+                    "rewritten_files": len(groups["rewrite"])},
+        **({"schema": m["schema"]} if "schema" in m else {}),
+    }
+    _write_manifest(table_dir, seq, snap_id, manifest)
+    return snap_id, {"dropped": len(groups["drop"]),
+                     "kept": len(groups["keep"]),
+                     "rewritten": len(groups["rewrite"])}
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots and
+    garbage-collect data files no surviving manifest references — the
+    maintenance half of the immutable-snapshot design: without it a
+    compacted/deleted table keeps every superseded file forever.
+    Time travel to an expired snapshot (and incremental scans starting
+    from one) stop working, exactly Iceberg's contract.
+
+    Returns {"expired": [ids...], "removed_files": n}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = _snapshots(table_dir)
+    expire = snaps[:-keep_last]
+    if not expire:
+        return {"expired": [], "removed_files": 0}
+    survivors = snaps[-keep_last:]
+    live: set[str] = set()
+    for _, snap, _ in survivors:
+        live |= set(_manifest(table_dir, snap)["files"])
+    # manifests first: a crash between the two phases leaves only
+    # unreferenced files (re-running GC collects them), never a live
+    # manifest pointing at deleted data
+    for _, _, path in expire:
+        os.remove(path)
+    data_dir = os.path.join(table_dir, "data")
+    removed = 0
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            if name.endswith(".parquet") and name not in live:
+                os.remove(os.path.join(data_dir, name))
+                removed += 1
+    return {"expired": [s for _, s, _ in expire], "removed_files": removed}
 
 
 def rollback(table_dir: str, snapshot_id: str) -> str:
@@ -210,6 +498,8 @@ def rollback(table_dir: str, snapshot_id: str) -> str:
         "operation": "rollback",
         "rolled_back_to": snapshot_id,
         "files": old["files"],
+        "added": [],  # restores rows, adds none: not incremental-scannable
+        "bounds": old.get("bounds", {}),
         # rollback restores the old SCHEMA too (it points at old files)
         **({"schema": old["schema"]} if "schema" in old else {}),
     }

@@ -153,3 +153,148 @@ def test_schema_evolution_guards(spark, tmp_path):
         catalog.commit(
             spark.createDataFrame([("3", "c")], "id string, name string"),
             tdir, "append")
+
+
+def test_compact_small_files_data_identical(spark, tmp_path):
+    """Compaction rewrites many small files into few as a 'replace'
+    snapshot: same rows, fewer files, old snapshots untouched, and
+    incremental scans SKIP the replace (it adds no rows)."""
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    # three appends x 4 partitions each = 12 small files
+    s_ids = []
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).withColumnRenamed("id", "v") \
+            .repartition(4)
+        s_ids.append(catalog.commit(df, tdir, "append"))
+    pre = catalog._manifest(tdir, s_ids[-1])
+    assert len(pre["files"]) == 12
+    sc = catalog.compact(spark, tdir)
+    assert sc is not None
+    post = catalog._manifest(tdir, sc)
+    assert post["operation"] == "replace"
+    assert len(post["files"]) < 12
+    # data identical, old reader unaffected
+    got = sorted(r.v for r in catalog.read_snapshot(spark, tdir).collect())
+    assert got == list(range(300))
+    assert catalog.read_snapshot(spark, tdir, s_ids[0]).count() == 100
+    # incremental scan across the compaction sees only appended rows
+    inc = catalog.read_appends(spark, tdir, s_ids[0])
+    assert sorted(r.v for r in inc.collect()) == list(range(100, 300))
+    # append AFTER compaction still incremental-scans cleanly
+    s4 = catalog.commit(
+        spark.range(300, 310).withColumnRenamed("id", "v"), tdir)
+    inc2 = catalog.read_appends(spark, tdir, sc)
+    assert sorted(r.v for r in inc2.collect()) == list(range(300, 310))
+    assert s4 == catalog.current_snapshot(tdir)
+    # idempotence: a freshly compacted table has nothing to compact
+    # (the new big files exceed the small threshold)
+    assert catalog.compact(spark, tdir, small_bytes=10) is None
+
+
+def test_delete_where_prunes_files_from_bounds(spark, tmp_path):
+    """Predicate delete classifies files from MANIFEST bounds: a delete
+    aligned with the append partitioning drops/keeps whole files and
+    rewrites only the overlapping one — without reading kept files."""
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    # one file per day-aligned append: [0,100), [100,200), [200,300)
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).withColumnRenamed("id", "v") \
+            .coalesce(1)
+        catalog.commit(df, tdir, "append")
+    s_pre = catalog.current_snapshot(tdir)
+    snap, stats = catalog.delete_where(spark, tdir, "v", "<", 150)
+    # file [0,100) all-matches -> dropped whole; [200,300) none -> kept
+    # whole; [100,200) overlaps -> rewritten
+    assert stats == {"dropped": 1, "kept": 1, "rewritten": 1}
+    got = sorted(r.v for r in catalog.read_snapshot(spark, tdir).collect())
+    assert got == list(range(150, 300))
+    # history intact: the pre-delete snapshot still sees everything
+    assert catalog.read_snapshot(spark, tdir, s_pre).count() == 300
+    # equality delete on an exactly-covered file
+    snap2, stats2 = catalog.delete_where(spark, tdir, "v", ">=", 200)
+    assert stats2["dropped"] == 1 and stats2["rewritten"] == 0
+    assert catalog.read_snapshot(spark, tdir).count() == 50
+
+
+def test_delete_where_null_rows_survive(spark, tmp_path):
+    """NULL never matches a comparison predicate: null rows are kept,
+    and a file containing nulls is never dropped whole."""
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1,), (2,), (None,)], "v int").coalesce(1)
+    catalog.commit(df, tdir, "append")
+    _, stats = catalog.delete_where(spark, tdir, "v", "<=", 2)
+    assert stats["dropped"] == 0  # nulls block drop-whole
+    rows = catalog.read_snapshot(spark, tdir).collect()
+    assert [r.v for r in rows] == [None]
+
+
+def test_expire_snapshots_gc(spark, tmp_path):
+    """Expiry drops old manifests and garbage-collects files only the
+    expired snapshots referenced; surviving snapshots keep reading."""
+    import os
+
+    import pytest
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    s1 = catalog.commit(spark.range(50).withColumnRenamed("id", "v")
+                        .repartition(4), tdir, "append")
+    s2 = catalog.commit(spark.range(50, 100).withColumnRenamed("id", "v")
+                        .repartition(4), tdir, "append")
+    sc = catalog.compact(spark, tdir)
+    n_files_pre = len(os.listdir(os.path.join(tdir, "data")))
+    out = catalog.expire_snapshots(tdir, keep_last=1)
+    assert set(out["expired"]) == {s1, s2}
+    # the 8 superseded small files are gone, compacted files remain
+    assert out["removed_files"] == 8
+    assert len(os.listdir(os.path.join(tdir, "data"))) == n_files_pre - 8
+    assert catalog.read_snapshot(spark, tdir).count() == 100
+    assert catalog.current_snapshot(tdir) == sc
+    # time travel to an expired snapshot is gone (Iceberg contract)
+    with pytest.raises(FileNotFoundError):
+        catalog.read_snapshot(spark, tdir, s1)
+    # nothing left to expire
+    assert catalog.expire_snapshots(tdir, keep_last=1) == {
+        "expired": [], "removed_files": 0}
+
+
+def test_expire_keeps_files_shared_with_survivors(spark, tmp_path):
+    """A data file referenced by BOTH an expired and a surviving
+    snapshot must survive GC (append chains share files)."""
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    catalog.commit(spark.range(10).withColumnRenamed("id", "v")
+                   .coalesce(1), tdir, "append")
+    catalog.commit(spark.range(10, 20).withColumnRenamed("id", "v")
+                   .coalesce(1), tdir, "append")
+    out = catalog.expire_snapshots(tdir, keep_last=1)
+    assert out["removed_files"] == 0  # snapshot 2 references both files
+    assert sorted(
+        r.v for r in catalog.read_snapshot(spark, tdir).collect()
+    ) == list(range(20))
+
+
+def test_incremental_scan_refuses_expired_range(spark, tmp_path):
+    """If expiry GC'd the data files an incremental range needs, the
+    scan fails loudly instead of returning partial rows."""
+    import pytest
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    s1 = catalog.commit(spark.range(10).withColumnRenamed("id", "v"),
+                        tdir, "append")
+    catalog.commit(spark.range(10, 20).withColumnRenamed("id", "v"),
+                   tdir, "append")
+    catalog.compact(spark, tdir)
+    catalog.expire_snapshots(tdir, keep_last=1)
+    with pytest.raises((FileNotFoundError, ValueError)):
+        catalog.read_appends(spark, tdir, s1)
