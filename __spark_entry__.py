@@ -377,17 +377,28 @@ def _q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: binary payloads -> byte-histogram features
-    via mapInPandas (decode step stubbed — no codecs here). Payloads are
-    the documents' utf-8 bytes so DuckDB reproduces every value (the
-    synthesized pages-table variant, whose binary only exists
-    Spark-side, is covered by pytest)."""
+    """Multimodal plumbing, BOTH kernels in one contract row (round 5:
+    the driver checks at most 50 queries, so the former media_features /
+    media_decode pair is one jointly-oracled query now — every value
+    column of both is still checked):
+    * byte-histogram features via mapInPandas over the documents'
+      utf-8 bytes (DuckDB reproduces them with encode(text));
+    * header-only metadata decode over REAL synthesized BMP/JPEG/WAV
+      payloads whose width/height/duration are doc_id arithmetic
+      (DuckDB reproduces them as a CASE projection).
+    The equi-join on media_id is 1:1 and both sides derive from the
+    same documents scan."""
     from pdf_parser_spark.analytics import multimodal
 
-    media = multimodal.media_table_from_documents(_docs(spark, sf_dir))
-    feats = multimodal.extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes",
-                        F.round("f0", 6).alias("f0"))
+    docs = _docs(spark, sf_dir)
+    media = multimodal.media_table_from_documents(docs)
+    feats = (multimodal.extract_features(media)
+             .select("media_id", "kind", "n_bytes",
+                     F.round("f0", 6).alias("f0")))
+    decoded = (multimodal.decode_media(multimodal.synth_media_table(docs))
+               .select("media_id", "format", "width", "height",
+                       "duration_ms"))
+    return feats.join(decoded, "media_id")
 
 
 def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -564,17 +575,6 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_parser_spark.analytics import classifier
 
     return classifier.quality_classifier(_docs(spark, sf_dir))
-
-
-def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal metadata decode with a FULL value oracle: real BMP/WAV
-    bytes are synthesized from doc_id arithmetic, decode_media parses
-    width/height/duration back OUT of the bytes, and DuckDB reproduces
-    the expected values as a CASE projection."""
-    from pdf_parser_spark.analytics import multimodal
-
-    media = multimodal.synth_media_table(_docs(spark, sf_dir))
-    return multimodal.decode_media(media)
 
 
 def _q_extract_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -901,7 +901,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q_bpe_tokens,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
-        "media_decode": _q_media_decode,
         "sample_corpus": _q_sample,
         "pack_chunks": _q_pack_chunks,
         "training_corpus": _q_training_corpus,
@@ -1333,6 +1332,8 @@ def oracle_sql() -> dict[str, str]:
             "6) AS boilerplate_frac "
             "FROM per p LEFT JOIN hits h USING (doc_id)"
         ),
+        # one row covers BOTH multimodal kernels (features + metadata
+        # decode) since round 5 — see _q_media_features
         "media_features": (
             "WITH b AS (SELECT doc_id, encode(text) AS blob "
             "FROM documents), "
@@ -1347,12 +1348,7 @@ def oracle_sql() -> dict[str, str]:
             # the 16-bin histogram = bytes whose high nibble is '0'
             "round(CAST(len(list_filter(range(1, n + 1), "
             "i -> substr(hx, 2 * i - 1, 1) = '0')) AS DOUBLE) / n, 6) "
-            "AS f0 FROM h"
-        ),
-        "media_decode": (
-            "SELECT doc_id AS media_id, "
-            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
-            "ELSE 'video' END AS kind, "
+            "AS f0, "
             "CASE WHEN doc_id % 3 = 0 THEN "
             "(CASE WHEN doc_id % 6 = 0 THEN 'bmp' ELSE 'jpeg' END) "
             "WHEN doc_id % 3 = 1 THEN 'wav' "
@@ -1362,7 +1358,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 50 + 1 "
             "AS INTEGER) END AS height, "
             "CASE WHEN doc_id % 3 = 1 THEN CAST((doc_id % 30 + 1) * 100 "
-            "AS INTEGER) END AS duration_ms FROM documents"
+            "AS INTEGER) END AS duration_ms FROM h"
         ),
         "extract_markdown_roundtrip": (
             "SELECT doc_id, "
