@@ -604,13 +604,18 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
                      F.when(F.col("kept"), F.col("seg_idx"))))
                  .alias("_keep_idx")))
     out = df.join(keep, "doc_id")
-    kept_spans = F.filter(
-        spans_of(F.col("_tk"), F.col("_n")),
-        lambda s: F.array_contains("_keep_idx", s["seg_idx"]))
+    # rebuild straight FROM the sorted keep-list: each kept seg_idx
+    # slices its own token window — O(n_kept · k) per doc, vs the old
+    # filter-all-spans-by-array_contains which scanned the keep-list
+    # once per span (O(n_spans · n_kept); ~39M comparisons for a
+    # 100k-token doc). Order is already ascending (array_sort above).
+    kept_spans = F.transform(
+        F.col("_keep_idx"),
+        lambda i: F.array_join(
+            F.slice(F.col("_tk"), (i * k + 1).cast("int"), k), " "))
     return out.select(
         "doc_id", "n_spans", "n_kept",
-        F.array_join(F.transform(kept_spans, lambda s: s["seg"]), " ")
-        .alias("text_dedup"))
+        F.array_join(kept_spans, " ").alias("text_dedup"))
 
 
 # kept for callers that want raw shingle hash arrays
