@@ -1100,6 +1100,34 @@ def _lang_hits_sql() -> dict[str, str]:
     return out
 
 
+def _lang_guess_sql(table: str = "documents") -> str:
+    """SELECT producing (doc_id, hits_*, lang_guess) — the DuckDB mirror
+    of text.lang_hit_exprs + lang_guess_expr, including the ja/zh
+    kana-veto: kana >= 5% of a doc's CJK codepoints credits the Han
+    count to ja and vetoes zh in the argmax (raw hits_* stay raw)."""
+    lang_hits = _lang_hits_sql()
+    inner = ("SELECT doc_id, "
+             + ", ".join(f"{e} AS hits_{lang}"
+                         for lang, e in lang_hits.items())
+             + f" FROM {table}")
+    veto = "hits_ja > 0 AND hits_ja * 20 >= hits_ja + hits_zh"
+    mid = (f"SELECT *, CASE WHEN {veto} THEN hits_ja + hits_zh "
+           f"ELSE hits_ja END AS s_ja, "
+           f"CASE WHEN {veto} THEN 0 ELSE hits_zh END AS s_zh "
+           f"FROM ({inner})")
+    score = {lang: ("s_ja" if lang == "ja" else
+                    "s_zh" if lang == "zh" else f"hits_{lang}")
+             for lang in lang_hits}
+    mid2 = ("SELECT *, greatest("
+            + ", ".join(score[lang] for lang in sorted(lang_hits))
+            + f") AS g FROM ({mid})")
+    guess = "CASE " + " ".join(
+        f"WHEN {score[lang]} = g THEN '{lang}'"
+        for lang in sorted(lang_hits)) + " END"
+    cols = ", ".join(f"hits_{lang}" for lang in lang_hits)
+    return f"SELECT doc_id, {cols}, {guess} AS lang_guess FROM ({mid2})"
+
+
 def oracle_sql() -> dict[str, str]:
     from pdf_parser_spark.analytics.text import PII_PATTERNS
 
@@ -1117,13 +1145,6 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'), ' ') "
         "AS extracted FROM documents"
     )
-    lang_hits = _lang_hits_sql()
-    hits_cols = ", ".join(
-        f"{expr} AS hits_{lang}" for lang, expr in lang_hits.items())
-    guess_case = "CASE " + " ".join(
-        f"WHEN hits_{lang} = g THEN '{lang}'"
-        for lang in sorted(lang_hits)
-    ) + " END"
     bands = []
     for b in range(4):
         bucket = (f"concat(CAST(mh{2*b} AS VARCHAR), ',', "
@@ -1391,12 +1412,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id"
             ") WHERE cosine >= 0.45"
         ),
-        "lang_features": (
-            f"SELECT doc_id, {hits_cols}, {guess_case} AS lang_guess "
-            f"FROM (SELECT doc_id, text, greatest("
-            + ", ".join(lang_hits.values())
-            + ") AS g FROM documents)"
-        ),
+        "lang_features": _lang_guess_sql(),
         "quality_features": (
             f"SELECT doc_id, n_tokens, stopword_hits, punct_chars, "
             "round((n_chars - (n_tokens - 1)) / n_tokens, 6) "
@@ -1431,13 +1447,8 @@ def oracle_sql() -> dict[str, str]:
             "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', "
             "'g')) AS punct_chars, length(text) AS n_chars "
             "FROM documents)), "
-            f"lf AS (SELECT doc_id, {guess_case} AS lang_guess FROM ("
-            "SELECT doc_id, "
-            + ", ".join(f"{expr} AS hits_{lang}"
-                        for lang, expr in lang_hits.items())
-            + ", greatest("
-            + ", ".join(lang_hits.values())
-            + ") AS g FROM documents)) "
+            f"lf AS (SELECT doc_id, lang_guess FROM "
+            f"({_lang_guess_sql()})) "
             "SELECT d.doc_id, d.lang, lf.lang_guess, q.n_tokens, "
             "q.quality_score FROM documents d "
             "JOIN canon USING (doc_id) JOIN q USING (doc_id) "

@@ -23,9 +23,12 @@ LANG_MARKERS: dict[str, list[str]] = {
 # instead (one Han char ~ one token, so the counts are commensurate
 # with the word-marker hits in the shared argmax). All ranges are BMP:
 # Spark's UTF-16 length and DuckDB's codepoint length agree, and
-# non-range chars cancel out of the length difference. Known limit:
-# kanji-heavy Japanese with little kana can argmax to zh — proper
-# disambiguation needs a real n-gram model, not a range count.
+# non-range chars cancel out of the length difference. ja/zh share the
+# Han range, so the argmax applies a kana-veto tiebreak (see
+# lang_guess_expr): written Japanese always carries okurigana/particles
+# in kana, so kana >= 5% of CJK chars reassigns the Han count to ja
+# and vetoes zh — while a stray kana quote inside Chinese text stays
+# under the threshold.
 LANG_SCRIPTS: dict[str, str] = {
     "zh": "\u3400-\u4dbf\u4e00-\u9fff",  # Han: ExtA + URO
     "ja": "\u3040-\u30ff",                 # hiragana + katakana
@@ -64,11 +67,22 @@ def lang_hit_exprs(text_col) -> dict[str, "F.Column"]:
 
 def lang_guess_expr(hit_cols: dict[str, "F.Column"]):
     """Argmax language over hit-count expressions (deterministic
-    tie-break: alphabetical language order)."""
-    best = F.greatest(*hit_cols.values())
+    tie-break: alphabetical language order), with the ja/zh kana-veto:
+    when kana make up >= 5% of a doc's CJK codepoints the text is
+    Japanese (kanji-heavy ja would otherwise argmax to zh because Han
+    chars outnumber kana), so the Han count is credited to ja and zh is
+    vetoed for that doc. Raw hits_* columns are unchanged — the veto
+    only adjusts the scores entering the argmax. Mirrored verbatim in
+    the DuckDB oracle (__spark_entry__._lang_guess_sql)."""
+    kana, han = hit_cols["hits_ja"], hit_cols["hits_zh"]
+    ja_dom = (kana > 0) & (kana * 20 >= kana + han)
+    scores = dict(hit_cols)
+    scores["hits_ja"] = F.when(ja_dom, kana + han).otherwise(kana)
+    scores["hits_zh"] = F.when(ja_dom, F.lit(0)).otherwise(han)
+    best = F.greatest(*scores.values())
     guess = None
     for lang in sorted([*LANG_MARKERS, *LANG_SCRIPTS]):
-        cond = hit_cols[f"hits_{lang}"] == best
+        cond = scores[f"hits_{lang}"] == best
         guess = F.when(cond, F.lit(lang)) if guess is None \
             else guess.when(cond, F.lit(lang))
     return guess

@@ -370,6 +370,53 @@ def test_lang_features_cjk_script_ranges(spark):
     assert got[5].hits_ru == sum("Ѐ" <= c <= "ӿ" for c in rows[4][1])
 
 
+def test_lang_features_kanji_heavy_japanese_kana_veto(spark):
+    """r4 verdict item 6: kanji-heavy Japanese (Han chars outnumbering
+    kana, the normal case for formal ja prose) must score ja, not zh —
+    kana >= 5% of CJK codepoints credits the Han count to ja and vetoes
+    zh. A stray kana char inside Chinese text stays under the threshold,
+    and the raw hits_* columns stay raw. The DuckDB oracle replays the
+    same veto."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_parser_spark.analytics import text as T
+
+    rows = [
+        # 22 kanji, 6 kana (~21% kana): unambiguously ja, but Han count
+        # wins a raw argmax — the pre-veto defect case
+        (1, "東京都議会議員選挙の結果が発表された。投票率は前回を上回る"),
+        # pure kanji (classical-style): no kana signal -> stays zh
+        (2, "人工智能技術開發研究中心設立計劃正式發表"),
+        # Chinese with ONE quoted kana char (<5%): must stay zh
+        (3, "该产品在日本市场被称为「の」品牌标志设计理念深受欢迎的原因分析报告"),
+        (4, "これは ひらがな だけ の ぶんしょう です"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = T.lang_features(df)
+    got = {r.doc_id: r for r in feats.collect()}
+    assert got[1].lang_guess == "ja"
+    assert got[1].hits_zh > got[1].hits_ja > 0  # raw counts untouched
+    assert got[2].lang_guess == "zh"
+    assert got[3].lang_guess == "zh"
+    assert got[4].lang_guess == "ja"
+
+    # cross-engine: the oracle SQL applies the identical veto
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.register("documents",
+                 pd.DataFrame(rows, columns=["doc_id", "text"]))
+    osql = entry._lang_guess_sql()
+    odf = con.execute(osql).df().set_index("doc_id")
+    sdf = feats.toPandas().set_index("doc_id")
+    for i, _ in rows:
+        assert odf.loc[i, "lang_guess"] == got[i].lang_guess, i
+        for c in sdf.columns:
+            if c.startswith("hits_"):
+                assert int(odf.loc[i, c]) == int(sdf.loc[i, c]), (i, c)
+
+
 def test_ivf_recall_on_clustered_data(spark):
     import numpy as np
 
