@@ -387,7 +387,8 @@ def lm_quality(docs: DataFrame, text_col: str = "text",
 
 def ppl_buckets(docs: DataFrame, text_col: str = "text",
                 ref_mod: int = 10, ref_val: int = 1,
-                return_handle: bool = False):
+                return_handle: bool = False, exact: bool = True,
+                approx_accuracy: int = 10000):
     """CCNet head/middle/tail corpus partition: bucket every document by
     its LM score (``lm_quality`` avg_nll) into the best/middle/worst
     third of the corpus — CCNet shards Common Crawl into exactly these
@@ -397,9 +398,14 @@ def ppl_buckets(docs: DataFrame, text_col: str = "text",
     avg_nll), NOT a global NTILE: a rank window would funnel the whole
     corpus through one sorted partition, while the threshold aggregate
     reduces map-side and broadcasts ONE row back. At bench scale the
-    exact ``percentile`` keeps the oracle bit-comparable (verified
-    identical to DuckDB ``quantile_cont``); at 10^12 docs swap in
-    ``approx_percentile`` — same plan shape, same 1-row broadcast.
+    default exact ``percentile`` keeps the oracle bit-comparable
+    (verified identical to DuckDB ``quantile_cont``); at 10^12 docs pass
+    ``exact=False`` for ``approx_percentile`` — exact percentile holds
+    every distinct avg_nll in the aggregation buffer (unbounded for a
+    corpus-sized continuous score), while the approx sketch is
+    fixed-size at ~``approx_accuracy`` entries with relative rank error
+    <= 1/accuracy. Identical plan shape, same 1-row broadcast
+    (tests/test_analytics.py locks both).
 
     The per-doc scores feed BOTH the threshold aggregate and the final
     labeling, so the narrow (doc_id, n_bigrams, avg_nll) frame is
@@ -412,9 +418,11 @@ def ppl_buckets(docs: DataFrame, text_col: str = "text",
 
     scored = lm_quality(docs, text_col, ref_mod, ref_val) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    cuts = scored.agg(
-        F.percentile("avg_nll", F.array(F.lit(1.0 / 3),
-                                        F.lit(2.0 / 3))).alias("c"))
+    fractions = F.array(F.lit(1.0 / 3), F.lit(2.0 / 3))
+    cut_agg = (F.percentile("avg_nll", fractions) if exact else
+               F.approx_percentile("avg_nll", fractions,
+                                   F.lit(approx_accuracy)))
+    cuts = scored.agg(cut_agg.alias("c"))
     result = (scored.crossJoin(F.broadcast(cuts))
               .select("doc_id", "avg_nll",
                       F.when(F.col("avg_nll") <= F.element_at("c", 1),

@@ -109,15 +109,29 @@ def host_cap(docs: DataFrame, k: int = 3,
     def partial(batches):
         import pandas as pd
 
-        best = None
-        for pdf in batches:
-            cur = pdf if best is None else pd.concat(
-                [best, pdf], ignore_index=True)
-            best = (cur.sort_values(["host", "q", "doc_id"],
+        def compress(frames):
+            cur = pd.concat(frames, ignore_index=True)
+            return (cur.sort_values(["host", "q", "doc_id"],
                                     ascending=[True, False, True])
                     .groupby("host", sort=False).head(k))
-        if best is not None and len(best):
-            yield best
+
+        # accumulate raw batches and sort ONCE at the end (r4 verdict
+        # item 7: the old per-batch concat+resort paid O(B * acc log
+        # acc)); the rows are 3 narrow scalars so a partition's worth
+        # fits comfortably, with a 1M-row compaction valve so a
+        # pathological partition stays bounded at H*k + 1M rows
+        acc: list = []
+        n = 0
+        for pdf in batches:
+            acc.append(pdf)
+            n += len(pdf)
+            if n > 1_000_000:
+                acc = [compress(acc)]
+                n = len(acc[0])
+        if acc:
+            best = compress(acc)
+            if len(best):
+                yield best
 
     part = per.mapInPandas(partial, "host string, doc_id long, q double")
     w = Window.partitionBy("host").orderBy(F.desc("q"), F.asc("doc_id"))

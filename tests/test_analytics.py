@@ -1039,6 +1039,34 @@ def test_ppl_buckets_are_monotone_thirds(spark, docs):
         assert len(vals) >= n // 5
 
 
+def test_ppl_buckets_approx_path_same_plan_and_bands(spark, docs):
+    """The 10^12-doc knob is code, not a comment (r4 verdict item 5):
+    exact=False swaps percentile -> approx_percentile with the SAME
+    plan shape (single-row threshold aggregate + one broadcast, no
+    Window/NTILE) and near-identical bands — at accuracy 10000 on a
+    small corpus the thresholds are rank-exact, so only boundary ties
+    may move between adjacent buckets."""
+    from pdf_parser_spark.analytics import text as T
+
+    exact = T.ppl_buckets(docs)
+    approx = T.ppl_buckets(docs, exact=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    e = {r.doc_id: r.bucket for r in exact.collect()}
+    a = {r.doc_id: r.bucket for r in approx.collect()}
+    assert set(e) == set(a)
+    agree = sum(e[d] == a[d] for d in e)
+    assert agree >= 0.95 * len(e), f"only {agree}/{len(e)} agree"
+    # approx bands stay monotone in avg_nll too
+    by = {"head": [], "middle": [], "tail": []}
+    for r in T.ppl_buckets(docs, exact=False).collect():
+        by[r.bucket].append(r.avg_nll)
+    assert all(by.values())
+    assert max(by["head"]) <= min(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"])
+
+
 def test_canonical_docs_picks_highest_quality_rep(spark):
     """The dedup manifest keeps the best-quality doc per near-dup
     cluster and maps singletons to themselves."""
