@@ -992,6 +992,31 @@ def test_span_dedup_intra_document_repeat(spark):
     assert r.text_dedup == f"{a} {b}"
 
 
+def test_quality_classifier_heldout_metrics_above_floor():
+    """Semantic regression gate for the committed weight table (r4
+    verdict item 9): held-out precision/recall vs the teacher (sf0.1
+    ids >= 500, disjoint from the sf0.01 training ids) must match the
+    committed quality_clf_eval.json EXACTLY (everything is
+    deterministic) and clear absolute floors with real lift over the
+    base rate — so a corrupted/retrained-by-accident weight table
+    fails on meaning, not just on bytes."""
+    import json
+    from pathlib import Path
+
+    from tools.train_quality_clf import evaluate
+
+    committed = json.loads(
+        (Path("pdf_parser_spark/analytics/quality_clf_eval.json")
+         ).read_text())
+    got = evaluate()
+    assert got == committed, "eval drifted from committed table"
+    assert got["precision"] >= 0.65
+    assert got["recall"] >= 0.68
+    assert got["accuracy"] >= 0.62
+    # real lift: accuracy beats always-predict-majority
+    assert got["accuracy"] > max(got["base_rate"], 1 - got["base_rate"])
+
+
 def test_quality_classifier_matches_python_replay(spark):
     """The Spark logit must equal an independent python replay of the
     committed weights (hash bucket, exact int64 weight sum, one

@@ -60,6 +60,49 @@ def features(text: str) -> np.ndarray:
     return x / len(feats)  # mean-of-embeddings, fastText-style
 
 
+def evaluate(train_sf_dir: str = "/root/testdata/sf0.01",
+             eval_sf_dir: str = "/root/testdata/sf0.1",
+             holdout_from: int = 500) -> dict:
+    """Held-out precision/recall of the COMMITTED weights vs the
+    teacher (r4 verdict item 9): eval docs are sf0.1 ids >=
+    ``holdout_from`` — disjoint from the sf0.01 training ids (0-499) —
+    labeled with the TRAINING corpus's median threshold (the split the
+    student was trained to imitate). Deterministic end to end, so the
+    committed quality_clf_eval.json regenerates byte-identically and a
+    weight-table regression now fails SEMANTICALLY (metric floor in
+    tests/test_analytics.py), not just bit-wise."""
+    from pdf_parser_spark.analytics.classifier import load_weights
+
+    bias, wi = load_weights()
+    w = np.array(wi) / 1e6
+    b = bias / 1e6
+    train = duckdb.sql(
+        f"SELECT text FROM read_parquet('{train_sf_dir}/"
+        "documents.parquet') ORDER BY doc_id").fetchall()
+    thr = float(np.median([quality_score(t) for (t,) in train]))
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{eval_sf_dir}/"
+        f"documents.parquet') WHERE doc_id >= {holdout_from} "
+        "ORDER BY doc_id").fetchall()
+    y = np.array([quality_score(t) >= thr for _, t in rows])
+    X = np.stack([features(t) for _, t in rows])
+    pred = X @ w + b > 0
+    tp = int((pred & y).sum())
+    fp = int((pred & ~y).sum())
+    fn = int((~pred & y).sum())
+    tn = int((~pred & ~y).sum())
+    prec, rec = tp / (tp + fp), tp / (tp + fn)
+    return {
+        "n_eval": len(y), "holdout_from": holdout_from,
+        "teacher_threshold": round(thr, 6),
+        "base_rate": round(float(y.mean()), 6),
+        "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+        "precision": round(prec, 6), "recall": round(rec, 6),
+        "accuracy": round((tp + tn) / len(y), 6),
+        "f1": round(2 * prec * rec / (prec + rec), 6),
+    }
+
+
 def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -85,6 +128,15 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     lines += [str(int(round(x * 1e6))) for x in w]
     out.write_text("\n".join(lines) + "\n")
     print(f"trained on {len(y)} docs, train acc {acc:.3f}, wrote {out}")
+
+    import json
+
+    ev = evaluate(train_sf_dir=sf_dir)
+    ev_path = out.with_name("quality_clf_eval.json")
+    ev_path.write_text(json.dumps(ev, indent=1, sort_keys=True) + "\n")
+    print(f"held-out eval ({ev['n_eval']} docs): "
+          f"precision {ev['precision']:.3f} recall {ev['recall']:.3f} "
+          f"(base rate {ev['base_rate']:.3f}), wrote {ev_path}")
 
 
 if __name__ == "__main__":
