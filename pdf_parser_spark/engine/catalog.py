@@ -156,54 +156,86 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
         os.remove(os.path.join(staging, name))
     os.rmdir(staging)
 
-    snaps = _snapshots(table_dir)
-    seq = snaps[-1][0] + 1 if snaps else 1
-    parent_files: list[str] = []
-    parent_bounds: dict[str, dict] = {}
-    parent_id = None
-    if mode == "append" and snaps:
-        parent_id = snaps[-1][1]
-        pm = _manifest(table_dir, parent_id)
-        parent_files = pm["files"]
-        parent_bounds = pm.get("bounds", {})
+    new_bounds = {f: _file_bounds(os.path.join(data_dir, f))
+                  for f in new_files}
+    df_schema = json.loads(df.schema.json())
+    # optimistic-concurrency loop (Iceberg commit retry): losing the
+    # sequence-number CAS means another writer advanced the head —
+    # re-derive parent/files/schema from the NEW head and re-publish.
+    # Data files are immutable and already in place; an append composes
+    # with any interleaved append, so retrying is always safe here.
+    while True:
+        snaps = _snapshots(table_dir)
+        seq = snaps[-1][0] + 1 if snaps else 1
+        parent_files: list[str] = []
+        parent_bounds: dict[str, dict] = {}
+        parent_id = None
+        schema = df_schema
+        if mode == "append" and snaps:
+            parent_id = snaps[-1][1]
+            pm = _manifest(table_dir, parent_id)
+            parent_files = pm["files"]
+            parent_bounds = pm.get("bounds", {})
+            if pm.get("schema") is not None:
+                schema = _merge_schema(pm["schema"], df_schema)
 
-    sdir = os.path.join(table_dir, "snapshots")
-    os.makedirs(sdir, exist_ok=True)
-    bounds = dict(parent_bounds)
-    for f in new_files:
-        bounds[f] = _file_bounds(os.path.join(data_dir, f))
-    manifest = {
-        "snapshot_id": snap_id,
-        "sequence": seq,
-        "parent": parent_id,
-        "operation": mode,
-        "files": parent_files + new_files,
-        # files that carry rows NEW in this snapshot (incremental scan
-        # reads these, never the full file-list diff — a later compact
-        # rewrites the file list without adding data)
-        "added": new_files,
-        # per-file footer stats for manifest-level pruning (delete_where)
-        "bounds": bounds,
-        # the snapshot's CURRENT schema (Iceberg: schema rides the
-        # metadata, not the data files) — an append with new columns
-        # evolves the table schema by UNION with the parent's (see
-        # _merge_schema; silently narrowing or retyping is refused);
-        # readers pin this and files surface NULL for columns they
-        # predate
-        "schema": schema,
-    }
-    _write_manifest(table_dir, seq, snap_id, manifest)
-    return snap_id
+        manifest = {
+            "snapshot_id": snap_id,
+            "sequence": seq,
+            "parent": parent_id,
+            "operation": mode,
+            "files": parent_files + new_files,
+            # files that carry rows NEW in this snapshot (incremental
+            # scan reads these, never the full file-list diff — a later
+            # compact rewrites the file list without adding data)
+            "added": new_files,
+            # per-file footer stats for manifest pruning (delete_where)
+            "bounds": {**parent_bounds, **new_bounds},
+            # the snapshot's CURRENT schema (Iceberg: schema rides the
+            # metadata, not the data files) — an append with new columns
+            # evolves the table schema by UNION with the parent's (see
+            # _merge_schema; silently narrowing or retyping is refused);
+            # readers pin this and files surface NULL for columns they
+            # predate
+            "schema": schema,
+        }
+        try:
+            _write_manifest(table_dir, seq, snap_id, manifest)
+            return snap_id
+        except CommitConflict:
+            continue
+
+
+class CommitConflict(Exception):
+    """Another writer published the same sequence number first
+    (optimistic-concurrency loss — Iceberg's CAS failure)."""
 
 
 def _write_manifest(table_dir: str, seq: int, snap_id: str,
                     manifest: dict) -> None:
-    """Atomic manifest publish — the commit point for every operation."""
+    """Atomic manifest publish — the commit point for every operation.
+
+    Concurrency: the sequence number is claimed with a SENTINEL hard
+    link (``os.link`` fails with EEXIST if the name exists, unlike
+    ``os.rename`` which silently overwrites) — two writers that both
+    read head seq N race to link ``.seq-N+1``; exactly one wins, the
+    loser gets CommitConflict and must re-read the head and retry
+    (append does this automatically; rewrite ops surface the conflict
+    because their file classifications are stale). This is the local-FS
+    stand-in for Iceberg's atomic catalog pointer swap."""
     sdir = os.path.join(table_dir, "snapshots")
     os.makedirs(sdir, exist_ok=True)
     tmp = os.path.join(sdir, f".tmp-{snap_id}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
+    claim = os.path.join(sdir, f".seq-{seq}")
+    try:
+        os.link(tmp, claim)  # CAS: fails iff seq already claimed
+    except FileExistsError:
+        os.remove(tmp)
+        raise CommitConflict(
+            f"sequence {seq} in {table_dir} was published by a "
+            f"concurrent writer") from None
     os.rename(tmp, os.path.join(sdir, f"{seq}-{snap_id}.json"))  # COMMIT
 
 

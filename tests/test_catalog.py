@@ -298,3 +298,58 @@ def test_incremental_scan_refuses_expired_range(spark, tmp_path):
     catalog.expire_snapshots(tdir, keep_last=1)
     with pytest.raises((FileNotFoundError, ValueError)):
         catalog.read_appends(spark, tdir, s1)
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Optimistic concurrency (Iceberg commit retry): two appends racing
+    on the same head must BOTH land — the sequence-number CAS makes one
+    retry against the other's snapshot instead of silently dropping its
+    files from the lineage (lost update)."""
+    import threading
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    catalog.commit(spark.range(10).withColumnRenamed("id", "v"),
+                   tdir, "append")
+
+    errs = []
+
+    def appender(lo):
+        try:
+            catalog.commit(
+                spark.range(lo, lo + 10).withColumnRenamed("id", "v"),
+                tdir, "append")
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender, args=(lo,))
+          for lo in (100, 200, 300)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    got = sorted(r.v for r in catalog.read_snapshot(spark, tdir).collect())
+    assert got == list(range(10)) + list(range(100, 110)) \
+        + list(range(200, 210)) + list(range(300, 310))
+    # one linear history: sequences are consecutive, parents chain
+    hist = catalog.history(tdir)
+    assert [h["sequence"] for h in hist] == [1, 2, 3, 4]
+
+
+def test_manifest_seq_cas_rejects_second_writer(tmp_path):
+    """The publish primitive itself: two manifests claiming one sequence
+    number -> exactly one wins, the loser gets CommitConflict."""
+    import pytest
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    m = {"snapshot_id": "a", "sequence": 1, "parent": None,
+         "operation": "append", "files": [], "added": [], "bounds": {}}
+    catalog._write_manifest(tdir, 1, "aaaa", m)
+    with pytest.raises(catalog.CommitConflict):
+        catalog._write_manifest(tdir, 1, "bbbb", {**m,
+                                                  "snapshot_id": "b"})
+    assert [s for _, s, _ in catalog._snapshots(tdir)] == ["aaaa"]
