@@ -333,7 +333,11 @@ def compact(spark: SparkSession, table_dir: str,
     At 10^12 docs this runs as routine maintenance after every crawl
     increment: a 1000-executor append leaves one file per task, and an
     unmaintained table's scan planning degrades with file count long
-    before data size matters."""
+    before data size matters.
+
+    Raises CommitConflict if a concurrent writer advances the head
+    between planning and publish (this rewrite's file classification is
+    then stale — re-run; appends retry automatically instead)."""
     cur = current_snapshot(table_dir)
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
@@ -367,7 +371,11 @@ def compact(spark: SparkSession, table_dir: str,
               set(keep)}
     for f in new_files:
         bounds[f] = _file_bounds(os.path.join(data_dir, f))
-    seq = _snapshots(table_dir)[-1][0] + 1
+    # seq from the PLANNING-TIME head (not a fresh listing): if a
+    # concurrent commit advanced the head since, this seq is taken and
+    # the CAS raises instead of publishing a file list that silently
+    # drops the interleaved snapshot's files
+    seq = int(m["sequence"]) + 1
     manifest = {
         "snapshot_id": snap_id, "sequence": seq, "parent": cur,
         "operation": "replace",  # data-identical rewrite
@@ -399,7 +407,9 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
 
     Returns (new snapshot id, {"dropped": n, "kept": n, "rewritten": n}).
     Old snapshots still see the deleted rows (immutable history) until
-    expire_snapshots collects their files."""
+    expire_snapshots collects their files. Raises CommitConflict if a
+    concurrent writer advances the head mid-delete (classification is
+    stale — re-run)."""
     if op not in _DELETE_OPS:
         raise ValueError(f"op must be one of {_DELETE_OPS}")
     cur = current_snapshot(table_dir)
@@ -461,7 +471,7 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
     new_bounds = {f: b for f, b in bounds.items() if f in keep_set}
     for f in new_files:
         new_bounds[f] = _file_bounds(os.path.join(data_dir, f))
-    seq = _snapshots(table_dir)[-1][0] + 1
+    seq = int(m["sequence"]) + 1  # planning-time head: see compact()
     manifest = {
         "snapshot_id": snap_id, "sequence": seq, "parent": cur,
         "operation": "delete",
