@@ -85,12 +85,35 @@ def _merge_schema(parent: dict, new: dict) -> dict:
     return out
 
 
+def _stat_to_bound(v) -> tuple[int | float, str] | None:
+    """Normalize a parquet footer statistic to a JSON-storable ordered
+    value + kind tag. int/float stay as-is (kind ''), timestamps become
+    epoch microseconds (kind 'ts'), dates become proleptic ordinals
+    (kind 'date'). Strings/bytes return None: writers may TRUNCATE
+    their min/max, which would make drop-whole-file classification
+    unsound — those columns always take the rewrite path."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, _dt.datetime):  # incl. pandas.Timestamp
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return round((v - epoch).total_seconds() * 1_000_000), "ts"
+    if isinstance(v, _dt.date):
+        return v.toordinal(), "date"
+    if isinstance(v, (int, float)):
+        return v, ""
+    return None
+
+
 def _file_bounds(path: str) -> dict[str, dict]:
-    """Per-column {min,max,nulls,rows} from the parquet FOOTER (no data
-    read) — the manifest-level stats Iceberg keeps per data file. Only
-    int/float columns are recorded: parquet string min/max may be
-    truncated by writers, which would make drop-whole-file
-    classification unsound (strings simply take the rewrite path)."""
+    """Per-column {min,max,nulls,rows[,kind]} from the parquet FOOTER
+    (no data read) — the manifest-level stats Iceberg keeps per data
+    file. int/float/timestamp/date columns are recorded (timestamps as
+    epoch micros — staging writes pin TIMESTAMP_MICROS because Spark's
+    default INT96 carries no footer stats at all; Iceberg likewise
+    forbids INT96); strings take the rewrite path (see
+    _stat_to_bound)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -106,17 +129,19 @@ def _file_bounds(path: str) -> dict[str, dict]:
             if st is None or not st.has_min_max:
                 out.pop(name, None)
                 continue
-            mn, mx = st.min, st.max
-            if not (isinstance(mn, (int, float))
-                    and not isinstance(mn, bool)):
+            b_min = _stat_to_bound(st.min)
+            b_max = _stat_to_bound(st.max)
+            if b_min is None or b_max is None:
                 continue
+            (mn, kind), (mx, _) = b_min, b_max
             nulls = st.null_count if st.has_null_count else None
             cur = out.get(name)
             if rg > 0 and cur is None:
                 continue  # an earlier row group lacked stats
             if cur is None:
                 out[name] = {"min": mn, "max": mx, "nulls": nulls,
-                             "rows": g.num_rows}
+                             "rows": g.num_rows,
+                             **({"kind": kind} if kind else {})}
             else:
                 cur["min"] = min(cur["min"], mn)
                 cur["max"] = max(cur["max"], mx)
@@ -124,6 +149,23 @@ def _file_bounds(path: str) -> dict[str, dict]:
                                 else cur["nulls"] + nulls)
                 cur["rows"] += g.num_rows
     return out
+
+
+def _write_staging(df: DataFrame, staging: str) -> None:
+    """Stage data files with INT64 TIMESTAMP_MICROS (Iceberg forbids
+    INT96, and INT96 columns carry no footer stats — without this a
+    warc_ts partition-aligned delete could never drop whole files)."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
@@ -142,7 +184,7 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
     snap_id = uuid.uuid4().hex[:12]
     data_dir = os.path.join(table_dir, "data")
     staging = os.path.join(table_dir, f"_staging_{snap_id}")
-    df.write.mode("overwrite").parquet(staging)
+    _write_staging(df, staging)
     os.makedirs(data_dir, exist_ok=True)
     new_files = []
     for name in sorted(os.listdir(staging)):
@@ -354,7 +396,7 @@ def compact(spark: SparkSession, table_dir: str,
 
     snap_id = uuid.uuid4().hex[:12]
     staging = os.path.join(table_dir, f"_staging_{snap_id}")
-    df.write.mode("overwrite").parquet(staging)
+    _write_staging(df, staging)
     new_files = []
     for name in sorted(os.listdir(staging)):
         if name.endswith(".parquet"):
@@ -418,11 +460,38 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
     m = _manifest(table_dir, cur)
     bounds = m.get("bounds", {})
 
+    def norm_value(kind: str):
+        """The predicate value on the bounds' comparison scale (epoch
+        micros for 'ts', ordinal for 'date' — naive datetimes use the
+        session timezone basis the staging writer used, i.e. UTC in
+        this sandbox). ISO strings are accepted for both."""
+        import datetime as _dt
+
+        v = value
+        if kind == "ts":
+            if isinstance(v, str):
+                v = _dt.datetime.fromisoformat(v)
+            if isinstance(v, _dt.datetime):
+                got = _stat_to_bound(v)
+                return got[0] if got else None
+            return None
+        if kind == "date":
+            if isinstance(v, str):
+                v = _dt.date.fromisoformat(v)
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                return v.toordinal()
+            return None
+        return v if isinstance(v, (int, float)) \
+            and not isinstance(v, bool) else None
+
     def classify(f: str) -> str:
         b = bounds.get(f, {}).get(column)
         if not b:
             return "rewrite"
         mn, mx, nulls = b["min"], b["max"], b["nulls"]
+        value = norm_value(b.get("kind", ""))
+        if value is None:  # value/stat scale mismatch: stay sound
+            return "rewrite"
         no_nulls = nulls == 0
         all_, none = False, False
         if op == "=":
@@ -456,7 +525,7 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
         survivors = (_read_files(spark, table_dir, m, groups["rewrite"])
                      .filter(~pred | F.col(column).isNull()))
         staging = os.path.join(table_dir, f"_staging_{snap_id}")
-        survivors.write.mode("overwrite").parquet(staging)
+        _write_staging(survivors, staging)
         for name in sorted(os.listdir(staging)):
             if name.endswith(".parquet"):
                 dst = f"{snap_id}-{name}"
@@ -475,7 +544,10 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
     manifest = {
         "snapshot_id": snap_id, "sequence": seq, "parent": cur,
         "operation": "delete",
-        "predicate": {"column": column, "op": op, "value": value},
+        # audit record only (never re-evaluated): keep it JSON-safe
+        "predicate": {"column": column, "op": op,
+                      "value": value if isinstance(
+                          value, (int, float, str)) else str(value)},
         "files": groups["keep"] + new_files,
         "added": [],
         "bounds": new_bounds,

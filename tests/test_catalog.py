@@ -353,3 +353,40 @@ def test_manifest_seq_cas_rejects_second_writer(tmp_path):
         catalog._write_manifest(tdir, 1, "bbbb", {**m,
                                                   "snapshot_id": "b"})
     assert [s for _, s, _ in catalog._snapshots(tdir)] == ["aaaa"]
+
+
+def test_delete_where_timestamp_bounds_drop_whole_files(spark, tmp_path):
+    """warc_ts partition-aligned delete (the north-rule input shape):
+    staging writes pin TIMESTAMP_MICROS so footer bounds exist (Spark's
+    default INT96 has none; Iceberg forbids INT96), and dropping a
+    crawl day classifies whole files from the manifest — zero data
+    read for drop/keep files. ISO-string values are accepted too."""
+    from datetime import datetime
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    # one file per crawl day, like per-increment appends
+    for day in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(f"http://h/{day}/{i}", datetime(2026, 1, day, i), i)
+             for i in range(1, 6)],
+            "url string, warc_ts timestamp, v int").coalesce(1)
+        catalog.commit(df, tdir, "append")
+    m = catalog._manifest(tdir, catalog.current_snapshot(tdir))
+    b = next(iter(m["bounds"].values()))
+    assert b["warc_ts"]["kind"] == "ts"  # stats recorded as epoch us
+
+    snap, stats = catalog.delete_where(
+        spark, tdir, "warc_ts", "<", datetime(2026, 1, 2))
+    assert stats == {"dropped": 1, "kept": 2, "rewritten": 0}
+    left = catalog.read_snapshot(spark, tdir)
+    assert left.count() == 10
+    assert left.agg({"warc_ts": "min"}).collect()[0][0] >= \
+        datetime(2026, 1, 2)
+
+    # mid-day cut: one file overlaps -> rewritten, one kept whole
+    snap2, stats2 = catalog.delete_where(
+        spark, tdir, "warc_ts", "<=", "2026-01-02T03:00:00")
+    assert stats2 == {"dropped": 0, "kept": 1, "rewritten": 1}
+    assert catalog.read_snapshot(spark, tdir).count() == 7
