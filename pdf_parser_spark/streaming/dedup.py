@@ -37,34 +37,63 @@ DEDUP_SCHEMA = StructType([
 _STATE_SCHEMA = "canonical LONG"
 
 
-def _first_wins(key, batches: Iterable[pd.DataFrame], state: GroupState):
-    (text_hash,) = key
-    ids: list[int] = []
-    for pdf in batches:
-        ids.extend(int(d) for d in pdf["doc_id"])
-    if not ids:
-        return
-    if state.exists:
-        return  # duplicate content: no new canonical row, no state churn
-    lo = min(ids)
-    state.update((lo,))
-    yield pd.DataFrame([{"text_hash": text_hash,
-                         "canonical_doc_id": lo}])
+def _first_wins_fn(ttl_ms: int | None):
+    def _first_wins(key, batches: Iterable[pd.DataFrame],
+                    state: GroupState):
+        (text_hash,) = key
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # retention expired: forget this content hash
+            return
+        ids: list[int] = []
+        for pdf in batches:
+            ids.extend(int(d) for d in pdf["doc_id"])
+        if not ids:
+            return
+        if state.exists:
+            if ttl_ms is not None:
+                # sliding retention: seeing the content again re-arms
+                # the clock (timeouts must be re-registered per batch)
+                state.setTimeoutDuration(ttl_ms)
+            return  # duplicate: no new canonical row, no state churn
+        lo = min(ids)
+        state.update((lo,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame([{"text_hash": text_hash,
+                             "canonical_doc_id": lo}])
+    return _first_wins
 
 
-def dedup_stream(docs: DataFrame) -> DataFrame:
+def dedup_stream(docs: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """docs(doc_id long, text string) stream -> one canonical row per
-    distinct content, first-wins across micro-batches."""
+    distinct content, first-wins across micro-batches.
+
+    ``ttl_ms`` bounds state retention at crawl scale (the module
+    docstring's 10^12-doc knob, code since round 5): a content hash not
+    seen for ttl_ms of processing time is dropped from the state store
+    (sliding — re-arrival re-arms it), so the store tracks the ACTIVE
+    dedup horizon instead of every hash ever seen. After expiry the
+    same content would be re-emitted as a fresh canonical row — pick
+    the horizon to match the recrawl cycle. None (default) keeps state
+    forever (the exact batch-parity semantics).
+
+    CAVEAT: processing-time timeouts need a CONTINUOUS trigger
+    (processingTime=...) to fire; under trigger(availableNow=True) the
+    engine keeps scheduling drain batches while any timeout is armed —
+    the drain never terminates. Use ttl_ms only on long-running
+    queries, never on drain-style runs."""
     hashed = docs.select(
         F.md5(F.encode("text", "UTF-8")).alias("text_hash"), "doc_id")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (hashed
             .groupBy("text_hash")
             .applyInPandasWithState(
-                _first_wins,
+                _first_wins_fn(ttl_ms),
                 outputStructType=DEDUP_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))
 
 
 # -- streaming NEAR-duplicate detection (MinHash-LSH state) ------------------
@@ -86,11 +115,22 @@ _NEAR_STATE_SCHEMA = "doc_ids ARRAY<LONG>, sigs ARRAY<LONG>"
 _MAX_BUCKET_STATE = 64
 
 
-def _near_dup(key, batches: Iterable[pd.DataFrame], state: GroupState):
+def _near_dup_fn(ttl_ms: int | None):
+    def _near_dup(key, batches: Iterable[pd.DataFrame],
+                  state: GroupState):
+        return _near_dup_impl(key, batches, state, ttl_ms)
+    return _near_dup
+
+
+def _near_dup_impl(key, batches: Iterable[pd.DataFrame],
+                   state: GroupState, ttl_ms: int | None = None):
     from ..analytics.dedup import N_MINHASH
 
     threshold = 0.5
     band = int(key[0])
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()  # bucket idle past the dedup horizon: forget it
+        return
     arrivals: list[tuple[int, list[int]]] = []
     for pdf in batches:
         for did, sig in zip(pdf["doc_id"], pdf["sig"]):
@@ -123,11 +163,14 @@ def _near_dup(key, batches: Iterable[pd.DataFrame], state: GroupState):
             doc_ids.append(did)
             sigs.append(sig)
     state.update((doc_ids, [x for s in sigs for x in s]))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)  # sliding retention per batch
     if out:
         yield pd.DataFrame(out)
 
 
-def near_dedup_stream(docs: DataFrame) -> DataFrame:
+def near_dedup_stream(docs: DataFrame,
+                      ttl_ms: int | None = None) -> DataFrame:
     """docs(doc_id long, text string) stream -> near-duplicate flags
     ACROSS micro-batches: MinHash signatures (same permutations as the
     batch operator, analytics.dedup.with_minhash) band into LSH bucket
@@ -139,7 +182,10 @@ def near_dedup_stream(docs: DataFrame) -> DataFrame:
     A pair colliding in several bands yields one flag per band —
     ``select('doc_id','dup_of').distinct()`` (or a downstream exact
     rerank, as in the batch pipeline) collapses them. State is
-    graph-bucket-sized and capped per bucket (_MAX_BUCKET_STATE)."""
+    graph-bucket-sized and capped per bucket (_MAX_BUCKET_STATE);
+    ``ttl_ms`` additionally drops buckets idle past the dedup horizon
+    (sliding processing-time retention, same contract as
+    dedup_stream)."""
     from ..analytics.dedup import N_MINHASH, banded_keys, with_minhash
 
     sig = with_minhash(docs).withColumn(
@@ -148,11 +194,13 @@ def near_dedup_stream(docs: DataFrame) -> DataFrame:
     # operator and the persistable index (bucket-compatibility matters:
     # a stream can warm-start from batch state)
     banded = banded_keys(sig, "doc_id", "sig")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return (banded
             .groupBy("band", "bucket")
             .applyInPandasWithState(
-                _near_dup,
+                _near_dup_fn(ttl_ms),
                 outputStructType=NEAR_DUP_SCHEMA,
                 stateStructType=_NEAR_STATE_SCHEMA,
                 outputMode="append",
-                timeoutConf=GroupStateTimeout.NoTimeout))
+                timeoutConf=timeout))

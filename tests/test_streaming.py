@@ -383,3 +383,69 @@ def test_state_metrics_watermark_reported(spark, tmp_path):
     assert len(m) >= 1
     assert m.state_rows_total.max() >= 1     # open window held in state
     assert m.watermark.notna().any()          # watermark surfaced
+
+
+def test_dedup_stream_state_ttl_expires_idle_hashes(spark, tmp_path):
+    """ttl_ms bounds state retention (the 10^12-doc knob, code since
+    round 5): a content hash idle past the TTL is dropped from the
+    state store, so the same content later re-emits as a fresh
+    canonical row (without TTL it is suppressed forever).
+
+    Processing-time timeouts only fire under a CONTINUOUS trigger —
+    availableNow spins forever re-arming its own drain (round-1
+    gotcha), so this test runs ONE processingTime query and feeds it
+    files while polling the output with a deadline."""
+    import time
+
+    from pdf_parser_spark.streaming.dedup import dedup_stream
+
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ck")
+    os.makedirs(src, exist_ok=True)
+
+    def feed(rows, name):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, name))
+
+    def canon_ids():
+        try:
+            df = spark.read.parquet(out)
+            return sorted(r.canonical_doc_id for r in df.collect())
+        except Exception:
+            return []  # sink not yet created
+
+    def await_canon(expect, deadline_s=90):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = canon_ids()
+            if got == expect:
+                return got
+            assert len(got) <= len(expect), f"over-emitted: {got}"
+            time.sleep(0.5)
+        raise AssertionError(
+            f"timed out waiting for {expect}, last saw {canon_ids()}")
+
+    feed([(5, "alpha text")], "b1.parquet")
+    q = (dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            ttl_ms=2000)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(processingTime="1 second").start())
+    try:
+        await_canon([5])
+        time.sleep(4)  # idle past the 2s TTL; empty triggers fire it
+        # alpha re-arrives after expiry: re-emitted with the NEW id —
+        # the observable proof its state was dropped
+        feed([(7, "alpha text")], "b2.parquet")
+        await_canon([5, 7])
+        # control: within-TTL duplicate stays suppressed
+        feed([(8, "alpha text")], "b3.parquet")
+        time.sleep(3)
+        assert canon_ids() == [5, 7]
+    finally:
+        q.stop()
