@@ -38,6 +38,9 @@ def main() -> None:
 
     p_expire = sub.add_parser("expire")
     p_expire.add_argument("--keep-last", type=int, default=2)
+    p_expire.add_argument("--older-than-s", type=float, default=None,
+                          help="retention window: only expire snapshots "
+                               "at least this many seconds old")
 
     p_delete = sub.add_parser("delete")
     p_delete.add_argument("--column", required=True)
@@ -55,7 +58,8 @@ def main() -> None:
     if args.cmd == "expire":
         # pure manifest/file surgery — no SparkSession needed
         out = catalog.expire_snapshots(args.table,
-                                       keep_last=args.keep_last)
+                                       keep_last=args.keep_last,
+                                       older_than_s=args.older_than_s)
         print(json.dumps({"op": "expire", **out}))
         return
     if args.cmd == "history":

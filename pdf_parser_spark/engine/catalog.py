@@ -562,7 +562,8 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
                      "rewritten": len(groups["rewrite"])}
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
+def expire_snapshots(table_dir: str, keep_last: int = 2,
+                     older_than_s: float | None = None) -> dict:
     """Expire all but the newest ``keep_last`` snapshots and
     garbage-collect data files no surviving manifest references — the
     maintenance half of the immutable-snapshot design: without it a
@@ -570,14 +571,29 @@ def expire_snapshots(table_dir: str, keep_last: int = 2) -> dict:
     Time travel to an expired snapshot (and incremental scans starting
     from one) stop working, exactly Iceberg's contract.
 
+    ``older_than_s`` additionally restricts expiry to snapshots whose
+    manifest is at least that many seconds old (Iceberg's
+    expire_snapshots(older_than=...) retention window: keep yesterday's
+    snapshots for time travel/debugging, expire last month's), judged
+    by manifest file mtime so pre-round-5 manifests work too.
+
     Returns {"expired": [ids...], "removed_files": n}."""
+    import time as _time
+
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     snaps = _snapshots(table_dir)
     expire = snaps[:-keep_last]
+    if older_than_s is not None:
+        cutoff = _time.time() - older_than_s
+        expire = [s for s in expire if os.path.getmtime(s[2]) < cutoff]
     if not expire:
         return {"expired": [], "removed_files": 0}
-    survivors = snaps[-keep_last:]
+    # survivors = everything NOT expired (with older_than_s, young
+    # snapshots outside the newest keep_last survive too — their files
+    # must stay live)
+    expired_ids = {s for _, s, _ in expire}
+    survivors = [s for s in snaps if s[1] not in expired_ids]
     live: set[str] = set()
     for _, snap, _ in survivors:
         live |= set(_manifest(table_dir, snap)["files"])

@@ -41,9 +41,17 @@ def extract_stream(pages: DataFrame, n_partitions: int = 32) -> DataFrame:
 
 def run_extract_stream(spark: SparkSession, input_dir: str, out_dir: str,
                        checkpoint_dir: str,
-                       available_now: bool = True):
+                       available_now: bool = True,
+                       metrics_path: str | None = None):
     """Start (and with available_now=True, drain) the streaming job.
-    Returns the terminated/active StreamingQuery."""
+    Returns the terminated/active StreamingQuery.
+
+    ``metrics_path``: append per-micro-batch progress rows (input rows,
+    trigger duration — streaming.metrics JSONL sidecar) after the
+    drain, the streaming analog of the batch job's per-partition
+    lineage rows (this job is stateless; stateful queries use
+    ``metrics.write_state_metrics`` for store sizes too). For a
+    non-draining run, poll the returned query on a schedule instead."""
     pages = read_pages_stream(spark, input_dir)
     extracted = extract_stream(pages)
     writer = (extracted.writeStream
@@ -54,6 +62,10 @@ def run_extract_stream(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        if metrics_path is not None:
+            from . import metrics
+
+            metrics.write_batch_metrics(q, metrics_path)
     else:
         q = writer.start()
     return q

@@ -60,6 +60,42 @@ def state_metrics(query) -> "pd.DataFrame":  # noqa: F821
     return pd.DataFrame(rows, columns=METRIC_COLUMNS)
 
 
+BATCH_COLUMNS = ["batch_id", "timestamp", "num_input_rows",
+                 "batch_duration_ms", "sink_description"]
+
+
+def batch_metrics(query) -> "pd.DataFrame":  # noqa: F821
+    """Per-micro-batch progress for ANY query (stateless extraction
+    included): input rows and trigger duration — the streaming analog
+    of the batch job's per-partition lineage counts."""
+    import pandas as pd
+
+    rows = []
+    for p in query.recentProgress:
+        rows.append({
+            "batch_id": int(p["batchId"]),
+            "timestamp": p.get("timestamp"),
+            "num_input_rows": int(p.get("numInputRows", 0)),
+            "batch_duration_ms": int(
+                (p.get("durationMs") or {}).get("triggerExecution", 0)),
+            "sink_description": (p.get("sink") or {}).get("description"),
+        })
+    return pd.DataFrame(rows, columns=BATCH_COLUMNS)
+
+
+def write_batch_metrics(query, path: str) -> int:
+    """Append per-batch progress rows as JSONL (see
+    write_state_metrics)."""
+    df = batch_metrics(query)
+    if not len(df):
+        return 0
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(df.to_json(orient="records", lines=True))
+        f.write("\n")
+    return len(df)
+
+
 def write_state_metrics(query, path: str) -> int:
     """Append the query's state metrics as one JSON line per row
     (append-only sidecar next to the output/lineage dirs — the same

@@ -390,3 +390,35 @@ def test_delete_where_timestamp_bounds_drop_whole_files(spark, tmp_path):
         spark, tdir, "warc_ts", "<=", "2026-01-02T03:00:00")
     assert stats2 == {"dropped": 0, "kept": 1, "rewritten": 1}
     assert catalog.read_snapshot(spark, tdir).count() == 7
+
+
+def test_expire_snapshots_older_than_window(spark, tmp_path):
+    """older_than_s keeps a retention window: only expiry candidates
+    whose manifest is older than the window go; a young non-head
+    snapshot survives AND its files stay live in the GC."""
+    import os
+    import time
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    s1 = catalog.commit(spark.range(10).withColumnRenamed("id", "v")
+                        .coalesce(1), tdir, "overwrite")
+    s2 = catalog.commit(spark.range(20).withColumnRenamed("id", "v")
+                        .coalesce(1), tdir, "overwrite")
+    s3 = catalog.commit(spark.range(30).withColumnRenamed("id", "v")
+                        .coalesce(1), tdir, "overwrite")
+    # age s1's manifest far past the window; s2 stays young
+    mpath = {snap: p for _, snap, p in catalog._snapshots(tdir)}
+    old = time.time() - 3600
+    os.utime(mpath[s1], (old, old))
+
+    out = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600)
+    assert out["expired"] == [s1]
+    # s2 (young, non-head) survived with its data readable
+    assert catalog.read_snapshot(spark, tdir, s2).count() == 20
+    assert catalog.read_snapshot(spark, tdir, s3).count() == 30
+    # aging s2 too lets the window expire it
+    os.utime(mpath[s2], (old, old))
+    out2 = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600)
+    assert out2["expired"] == [s2] and out2["removed_files"] == 1

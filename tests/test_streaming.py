@@ -34,10 +34,17 @@ def test_stream_extract_incremental(spark, tmp_path):
     out = str(tmp_path / "extracted")
     ckpt = str(tmp_path / "ckpt")
 
+    mpath = str(tmp_path / "lineage" / "batches.jsonl")
     _write_pages_batch(spark, src, 0, 100)
-    sjob.run_extract_stream(spark, src, out, ckpt)
+    sjob.run_extract_stream(spark, src, out, ckpt, metrics_path=mpath)
     n1 = spark.read.parquet(out).count()
     assert n1 == 100
+    # per-batch lineage sidecar: rows sum to the processed pages
+    import json as _json
+    with open(mpath) as f:
+        batches = [_json.loads(ln) for ln in f if ln.strip()]
+    assert sum(b["num_input_rows"] for b in batches) == 100
+    assert all(b["batch_duration_ms"] >= 0 for b in batches)
 
     _write_pages_batch(spark, src, 100, 250)
     sjob.run_extract_stream(spark, src, out, ckpt)
