@@ -154,18 +154,16 @@ def _file_bounds(path: str) -> dict[str, dict]:
 def _write_staging(df: DataFrame, staging: str) -> None:
     """Stage data files with INT64 TIMESTAMP_MICROS (Iceberg forbids
     INT96, and INT96 columns carry no footer stats — without this a
-    warc_ts partition-aligned delete could never drop whole files)."""
+    warc_ts partition-aligned delete could never drop whole files).
+    engine.session sets the conf session-wide; this guard covers
+    sessions built elsewhere (tests, notebooks). The conf is NOT
+    restored afterwards: a set-then-restore around the write would race
+    concurrent commits (session conf is global), and INT64 timestamps
+    are the correct default everywhere in this engine anyway."""
     spark = df.sparkSession
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try:
-        df.write.mode("overwrite").parquet(staging)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    df.write.mode("overwrite").parquet(staging)
 
 
 def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:

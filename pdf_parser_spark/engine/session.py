@@ -38,6 +38,11 @@ def get_spark(app_name: str = "pdf-parser-spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # INT64 timestamps (Iceberg forbids INT96, and INT96 parquet
+        # columns carry no footer stats — catalog delete_where needs
+        # them for warc_ts partition-aligned file pruning)
+        .config("spark.sql.parquet.outputTimestampType",
+                "TIMESTAMP_MICROS")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
