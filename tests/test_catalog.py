@@ -422,3 +422,75 @@ def test_expire_snapshots_older_than_window(spark, tmp_path):
     os.utime(mpath[s2], (old, old))
     out2 = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600)
     assert out2["expired"] == [s2] and out2["removed_files"] == 1
+
+
+def test_delete_where_equivalent_to_brute_force_filter(spark, tmp_path):
+    """Property check over randomized layouts: for many (op, value)
+    predicates, delete_where over a multi-file table equals the
+    brute-force DataFrame filter of the full corpus — whatever mix of
+    drop-whole/keep-whole/rewrite the bounds classification picks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine import catalog
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        tdir = str(tmp_path / f"tbl{trial}")
+        rows = [(i, rng.randint(-50, 50)) for i in range(120)]
+        vals = [v for _, v in rows]
+        # a few appends with random partitioning -> random file bounds;
+        # sprinkle NULLs in one trial
+        if trial == 3:
+            rows[::17] = [(i, None) for i, _ in rows[::17]]
+        for lo in range(0, 120, 40):
+            df = spark.createDataFrame(rows[lo:lo + 40],
+                                       "k long, v int") \
+                .repartition(rng.randint(1, 4))
+            catalog.commit(df, tdir, "append")
+        op = rng.choice(catalog._DELETE_OPS)
+        value = rng.randint(-55, 55)
+        _, stats = catalog.delete_where(spark, tdir, "v", op, value)
+        got = sorted((r.k, r.v) for r in
+                     catalog.read_snapshot(spark, tdir).collect())
+        pred = {"=": lambda x: x == value, "<": lambda x: x < value,
+                "<=": lambda x: x <= value, ">": lambda x: x > value,
+                ">=": lambda x: x >= value}[op]
+        expect = sorted((k, v) for k, v in rows
+                        if v is None or not pred(v))
+        assert got == expect, (trial, op, value, stats)
+
+
+def test_lifecycle_soak_compact_delete_expire_roundtrip(spark, tmp_path):
+    """Full maintenance cycle on one table: appends -> compact ->
+    delete -> append -> expire; every surviving read is exact and the
+    data dir holds only live files at the end."""
+    import os
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    for lo in (0, 100, 200):
+        catalog.commit(
+            spark.range(lo, lo + 100).withColumnRenamed("id", "v")
+            .repartition(3), tdir, "append")
+    catalog.compact(spark, tdir)
+    catalog.delete_where(spark, tdir, "v", ">=", 250)
+    catalog.commit(spark.range(300, 350).withColumnRenamed("id", "v"),
+                   tdir, "append")
+    out = catalog.expire_snapshots(tdir, keep_last=1)
+    assert out["expired"]  # history collapsed to the head
+    got = sorted(r.v for r in catalog.read_snapshot(spark, tdir).collect())
+    assert got == list(range(250)) + list(range(300, 350))
+    # GC left exactly the head's files on disk
+    head = catalog._manifest(tdir, catalog.current_snapshot(tdir))
+    on_disk = {f for f in os.listdir(os.path.join(tdir, "data"))
+               if f.endswith(".parquet")}
+    assert on_disk == set(head["files"])
+    # and the table still accepts appends + incremental scans after
+    s_last = catalog.current_snapshot(tdir)
+    catalog.commit(spark.range(400, 410).withColumnRenamed("id", "v"),
+                   tdir, "append")
+    inc = catalog.read_appends(spark, tdir, s_last)
+    assert sorted(r.v for r in inc.collect()) == list(range(400, 410))
