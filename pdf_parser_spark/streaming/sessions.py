@@ -32,8 +32,15 @@ SESSION_SCHEMA = StructType([
 _STATE_SCHEMA = "start LONG, last LONG, n INT"
 
 
-def _sessionize(key, batches: Iterable[pd.DataFrame],
-                state: GroupState):
+def _sessionize_fn(idle_flush_ms: int):
+    def _sessionize(key, batches: Iterable[pd.DataFrame],
+                    state: GroupState):
+        return _sessionize_impl(key, batches, state, idle_flush_ms)
+    return _sessionize
+
+
+def _sessionize_impl(key, batches: Iterable[pd.DataFrame],
+                     state: GroupState, idle_flush_ms: int = 60_000):
     (user_id,) = key
     if state.hasTimedOut:
         start, last, n = state.get
@@ -67,7 +74,7 @@ def _sessionize(key, batches: Iterable[pd.DataFrame],
     if start is not None:
         state.update((start, last, n))
         try:
-            state.setTimeoutDuration(60_000)
+            state.setTimeoutDuration(idle_flush_ms)
         except Exception:
             pass  # NoTimeout mode: open sessions wait for the next event
     if out:
@@ -75,20 +82,21 @@ def _sessionize(key, batches: Iterable[pd.DataFrame],
 
 
 def sessionize_stream(events: DataFrame,
-                      idle_flush: bool = False) -> DataFrame:
+                      idle_flush: bool = False,
+                      idle_flush_ms: int = 60_000) -> DataFrame:
     """events(user_id long, epoch_s long) stream -> closed sessions.
 
-    ``idle_flush=True`` adds a 60s processing-time timeout that force-
-    closes idle sessions — use with a real trigger interval. With
-    ``availableNow`` triggers leave it off: Spark spins empty micro-
-    batches until the wall-clock timeout fires, so a drain-the-source
-    run would take a minute to terminate (observed)."""
+    ``idle_flush=True`` adds an ``idle_flush_ms`` processing-time
+    timeout that force-closes idle sessions — use with a real trigger
+    interval. With ``availableNow`` triggers leave it off: the engine
+    keeps scheduling drain batches while any timeout is armed, so the
+    drain never terminates (same caveat as dedup_stream's ttl_ms)."""
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_flush
                else GroupStateTimeout.NoTimeout)
     return (events
             .groupBy("user_id")
             .applyInPandasWithState(
-                _sessionize,
+                _sessionize_fn(idle_flush_ms),
                 outputStructType=SESSION_SCHEMA,
                 stateStructType=_STATE_SCHEMA,
                 outputMode="append",

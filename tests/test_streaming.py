@@ -456,3 +456,46 @@ def test_dedup_stream_state_ttl_expires_idle_hashes(spark, tmp_path):
         assert canon_ids() == [5, 7]
     finally:
         q.stop()
+
+
+def test_sessionize_idle_flush_closes_open_sessions(spark, tmp_path):
+    """idle_flush force-closes a session whose user goes quiet — the
+    state-store half of sessionization (without it an abandoned session
+    is held forever). Continuous trigger + sink polling, same shape as
+    the dedup TTL test (processing-time timeouts never fire under an
+    availableNow drain)."""
+    import time
+
+    from pdf_parser_spark.streaming.sessions import sessionize_stream
+
+    src = str(tmp_path / "events_in")
+    out = str(tmp_path / "s_out")
+    os.makedirs(src, exist_ok=True)
+    pd.DataFrame([(1, 1000), (1, 1500)],
+                 columns=["user_id", "epoch_s"]).to_parquet(
+        os.path.join(src, "b1.parquet"))
+    q = (sessionize_stream(
+            spark.readStream.schema("user_id long, epoch_s long")
+            .parquet(src), idle_flush=True, idle_flush_ms=2000)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "s_ck"))
+         .outputMode("append")
+         .trigger(processingTime="1 second").start())
+    try:
+        t0 = time.time()
+        got = []
+        while time.time() - t0 < 90:
+            try:
+                got = spark.read.parquet(out).collect()
+            except Exception:
+                got = []
+            if got:
+                break
+            time.sleep(0.5)
+        assert len(got) == 1  # flushed by idle timeout, no later event
+        r = got[0]
+        assert (r.user_id, r.session_start, r.session_end,
+                r.n_events) == (1, 1000, 1500, 2)
+    finally:
+        q.stop()
