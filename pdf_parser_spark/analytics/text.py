@@ -314,6 +314,37 @@ def sample_corpus(docs: DataFrame, fraction: float,
     return docs.where(bucket < int(fraction * 1_000_000))
 
 
+def mix_corpus(docs: DataFrame, fractions: dict[str, float],
+               key_col: str = "lang", salt: str = "mix0",
+               default_fraction: float = 0.0,
+               id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group downsampling to target mixture weights
+    (DoReMi/Dolma-style data mixing): keep each group's documents at
+    its ``fractions[group]`` rate via the same md5-bucket rule as
+    sample_corpus, so a domain/language reweighting is reproducible
+    across runs AND composable with held-out splits (different salts
+    are independent). Groups absent from ``fractions`` keep
+    ``default_fraction`` (0 = drop unlisted groups — allowlist mixing).
+
+    Plan shape: the per-group threshold is a CASE expression over the
+    key column — a pure filter projection, zero shuffles, zero joins
+    (the mixture table is literals, not a broadcast frame). At 10^12
+    docs this is the same scan-predicate cost as a constant-fraction
+    sample."""
+    bucket = F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        1, 15), 16, 10).cast("long") % 1_000_000
+    thr = None
+    for key, frac in sorted(fractions.items()):
+        cond = F.col(key_col) == key
+        lim = F.lit(int(frac * 1_000_000))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    thr = (thr.otherwise(F.lit(int(default_fraction * 1_000_000)))
+           if thr is not None
+           else F.lit(int(default_fraction * 1_000_000)))
+    return docs.where(bucket < thr)
+
+
 def pack_chunks(docs: DataFrame, text_col: str = "text",
                 chunk_tokens: int = 128, budget: int = 512,
                 n_shards: int = 64) -> DataFrame:

@@ -139,3 +139,73 @@ def host_cap(docs: DataFrame, k: int = 3,
             .where(F.col("host_rank") <= k)
             .select("host", "doc_id",
                     F.col("q").alias("quality_score"), "host_rank"))
+
+
+# -- URL filtering (FineWeb/Dolma-style curation stage) ----------------------
+
+# Committed, deterministic rule tables (a production pipeline swaps in
+# the published UT1/adult blocklists as a broadcast-joined table; the
+# RULES here keep the operator self-contained and testable):
+BLOCKED_HOST_SUFFIXES = [
+    ".invalid", ".test", ".localhost",
+]
+BLOCKED_HOST_KEYWORDS = [
+    "tracker", "clickbait", "linkfarm",
+]
+NON_CONTENT_EXTENSIONS = [
+    "jpg", "jpeg", "png", "gif", "webp", "svg", "ico",
+    "css", "js", "woff", "woff2", "ttf",
+    "zip", "tar", "gz", "exe", "dmg", "iso",
+    "mp3", "mp4", "avi", "mov",
+]
+MAX_URL_LEN = 2048
+MAX_QUERY_PARAMS = 8
+
+
+def url_filter_exprs(url_col) -> dict[str, "F.Column"]:
+    """Per-url boolean rule expressions (pure projections — compose
+    into one select). True = the rule FIRES (url should be dropped).
+
+    The rules mirror what FineWeb/Dolma/CCNet apply before any content
+    work: blocklisted hosts, non-content file extensions, oversized or
+    parameter-stuffed URLs (spam/calendar traps). Running them FIRST
+    is the cheapest filter in the whole pipeline — at 10^12 docs every
+    later stage pays per surviving row, and these rules read only the
+    url column (column pruning: the scan never materializes html/text
+    for dropped rows' predicates)."""
+    host = F.lower(F.coalesce(host_of(url_col), F.lit("")))
+    path = F.coalesce(F.parse_url(url_col, F.lit("PATH")), F.lit(""))
+    query = F.coalesce(F.parse_url(url_col, F.lit("QUERY")), F.lit(""))
+    blocked_host = F.lit(False)
+    for suf in BLOCKED_HOST_SUFFIXES:
+        blocked_host = blocked_host | host.endswith(suf)
+    for kw in BLOCKED_HOST_KEYWORDS:
+        blocked_host = blocked_host | host.contains(kw)
+    ext = F.lower(F.regexp_extract(path, r"\.([A-Za-z0-9]{1,5})$", 1))
+    non_content = ext.isin(NON_CONTENT_EXTENSIONS)
+    too_long = F.length(url_col) > MAX_URL_LEN
+    # n params = n '=' separated segments in the query string
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.size(F.split(query, "&")))
+    trap = n_params > MAX_QUERY_PARAMS
+    return {"blocked_host": blocked_host, "non_content": non_content,
+            "too_long": too_long, "param_trap": trap}
+
+
+def url_filter(docs: DataFrame, url_col: str = "url",
+               keep_only: bool = True) -> DataFrame:
+    """FineWeb-style URL filtering: drop documents whose url hits any
+    rule in ``url_filter_exprs``. ``keep_only=False`` returns every row
+    with the per-rule booleans and a ``url_ok`` verdict instead of
+    filtering (the audit view: count rule hits per crawl).
+
+    Zero shuffles either way; with ``keep_only=True`` the predicate
+    sits directly on the scan."""
+    df = docs if url_col in docs.columns else with_url(docs)
+    rules = url_filter_exprs(F.col(url_col))
+    ok = ~rules["blocked_host"] & ~rules["non_content"] \
+        & ~rules["too_long"] & ~rules["param_trap"]
+    if keep_only:
+        return df.where(ok)
+    out = df.select("*", *[c.alias(n) for n, c in rules.items()])
+    return out.withColumn("url_ok", ok)

@@ -1195,3 +1195,70 @@ def test_vocabulary_counts_and_hapax_pruning(spark):
     assert set(got) == {"a", "c"}          # b/rare are hapaxes, pruned
     assert got["a"].n_occurrences == 3 and got["a"].n_docs == 2
     assert got["c"].n_occurrences == 2 and got["c"].n_docs == 1
+
+
+def test_url_filter_rules_and_audit_view(spark):
+    """FineWeb-style URL filtering: blocklisted hosts, non-content
+    extensions, oversize URLs, and parameter traps are dropped; clean
+    content URLs survive; the audit view reports per-rule booleans."""
+    from pdf_parser_spark.analytics import web
+
+    rows = [
+        (1, "https://site1.example/article/42"),              # clean
+        (2, "https://ads.tracker.example/pixel"),             # keyword
+        (3, "https://host.test/page"),                        # suffix
+        (4, "https://site2.example/logo.png"),                # extension
+        (5, "https://site3.example/doc.html"),                # clean
+        (6, "https://site4.example/p?" + "&".join(
+            f"a{i}=1" for i in range(12))),                   # param trap
+        (7, "https://site5.example/" + "x" * 2100),           # too long
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r.doc_id for r in web.url_filter(df).collect())
+    assert kept == [1, 5]
+    audit = {r.doc_id: r for r in
+             web.url_filter(df, keep_only=False).collect()}
+    assert audit[2].blocked_host and not audit[2].non_content
+    assert audit[3].blocked_host
+    assert audit[4].non_content
+    assert audit[6].param_trap
+    assert audit[7].too_long
+    assert audit[1].url_ok and audit[5].url_ok
+    assert not audit[2].url_ok
+    # zero shuffles either way (pure scan predicate / projection)
+    plan = web.url_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_mix_corpus_targets_fractions_deterministically(spark, docs):
+    """Data mixing: per-group keep rates land near the target mixture,
+    are exactly reproducible, compose independently across salts, and
+    unlisted groups follow default_fraction (0 = allowlist)."""
+    from pdf_parser_spark.analytics import text as T
+
+    fr = {"en": 1.0, "de": 0.5, "fr": 0.0}
+    out = T.mix_corpus(docs, fr, key_col="lang")
+    base = {r["lang"]: r["count"] for r in
+            docs.groupBy("lang").count().collect()}
+    got = {r["lang"]: r["count"] for r in
+           out.groupBy("lang").count().collect()}
+    assert got.get("en") == base["en"]          # 1.0 keeps everything
+    assert got.get("fr") is None                # 0.0 drops the group
+    assert "es" not in got                      # unlisted -> default 0
+    de = got.get("de", 0)
+    assert 0.25 * base["de"] <= de <= 0.75 * base["de"]  # ~half
+    # reproducible: same salt -> identical rows
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(r.doc_id for r in
+                  T.mix_corpus(docs, fr, key_col="lang").collect())
+    assert ids1 == ids2
+    # default_fraction keeps unlisted groups at the default rate
+    out2 = T.mix_corpus(docs, {"en": 0.0}, key_col="lang",
+                        default_fraction=1.0)
+    got2 = {r["lang"]: r["count"] for r in
+            out2.groupBy("lang").count().collect()}
+    assert "en" not in got2 and got2["fr"] == base["fr"]
+    # zero shuffles: pure scan predicate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
