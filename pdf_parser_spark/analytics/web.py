@@ -209,3 +209,47 @@ def url_filter(docs: DataFrame, url_col: str = "url",
         return df.where(ok)
     out = df.select("*", *[c.alias(n) for n, c in rules.items()])
     return out.withColumn("url_ok", ok)
+
+
+# -- page directives (robots meta / canonical link) --------------------------
+
+def page_directives(pages: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """Per-page crawl directives straight off the raw bytes:
+    ``noindex``/``nofollow`` from ``<meta name="robots">`` and the
+    ``rel="canonical"`` link target. A crawl pipeline drops noindex
+    pages and collapses canonical families (mirror/AMP/print variants
+    all declaring one canonical) BEFORE any content work — together
+    with url_filter these are the cheapest drop rules in the stack.
+
+    Pure projection over the scan (regexp on a lossy-decoded prefix of
+    the bytes — directives live in <head>, so only the first 8 KB are
+    inspected; the full html column never leaves the JVM). Attribute
+    order is handled by matching either (name=..content=..) order;
+    HTML entity/e.g. case variance by lowercasing first."""
+    head = F.lower(F.decode(
+        F.substring(F.col(html_col), 1, 8192), "UTF-8"))
+    robots = F.regexp_extract(
+        head,
+        r'<meta[^>]*name\s*=\s*["\']robots["\'][^>]*'
+        r'content\s*=\s*["\']([^"\']*)["\']', 1)
+    robots2 = F.regexp_extract(
+        head,
+        r'<meta[^>]*content\s*=\s*["\']([^"\']*)["\'][^>]*'
+        r'name\s*=\s*["\']robots["\']', 1)
+    directives = F.when(robots != "", robots).otherwise(robots2)
+    canonical = F.regexp_extract(
+        head,
+        r'<link[^>]*rel\s*=\s*["\']canonical["\'][^>]*'
+        r'href\s*=\s*["\']([^"\']+)["\']', 1)
+    canonical2 = F.regexp_extract(
+        head,
+        r'<link[^>]*href\s*=\s*["\']([^"\']+)["\'][^>]*'
+        r'rel\s*=\s*["\']canonical["\']', 1)
+    canon = F.when(canonical != "", canonical).otherwise(canonical2)
+    return pages.select(
+        url_col,
+        directives.contains("noindex").alias("noindex"),
+        directives.contains("nofollow").alias("nofollow"),
+        F.when(canon != "", canon).alias("canonical_url"),
+    )

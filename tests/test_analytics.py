@@ -1262,3 +1262,32 @@ def test_mix_corpus_targets_fractions_deterministically(spark, docs):
     # zero shuffles: pure scan predicate
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_page_directives_robots_and_canonical(spark):
+    """noindex/nofollow and rel=canonical parse off the raw bytes in
+    either attribute order; pages without directives come back clean;
+    the plan is a pure projection (no Exchange, no Python)."""
+    from pdf_parser_spark.analytics import web
+
+    rows = [
+        ("u1", b"<html><head><meta name='robots' content='noindex,"
+               b"nofollow'></head><body>x</body></html>"),
+        ("u2", b'<html><head><META CONTENT="NOINDEX" NAME="robots">'
+               b"</head><body>y</body></html>"),   # flipped attrs + case
+        ("u3", b'<html><head><link rel="canonical" '
+               b'href="https://site.example/main"></head>z</html>'),
+        ("u4", b'<html><head><link href="https://site.example/amp" '
+               b'rel="canonical"></head>w</html>'),  # flipped attrs
+        ("u5", b"<html><body>plain page</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in web.page_directives(df).collect()}
+    assert got["u1"].noindex and got["u1"].nofollow
+    assert got["u2"].noindex and not got["u2"].nofollow
+    assert got["u3"].canonical_url == "https://site.example/main"
+    assert got["u4"].canonical_url == "https://site.example/amp"
+    assert not got["u5"].noindex and got["u5"].canonical_url is None
+    plan = web.page_directives(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
