@@ -959,16 +959,29 @@ def _quality_clf_oracle_sql(src: str = "documents") -> str:
     from pdf_parser_spark.analytics.classifier import NBUCKETS, load_weights
 
     bias, w = load_weights()
+    stop_sql = "('the', 'and', 'of', 'to', 'is')"  # EN_STOP
     wl = "[" + ", ".join(str(x) for x in w) + "]"
     hb = f"({_sql_md5int('x')} % {NBUCKETS})"
+    # pseudo-token features (classifier.py_features): integer-exact
+    # bucketized length/punct/stopword indicators hashed like any token
+    pseudo = (
+        "['<len:' || CAST(least(10, length(bin(len(tk)))) AS VARCHAR) "
+        "|| '>', "
+        "'<punct:' || CAST(least(10, (20 * (length(text) - "
+        "length(regexp_replace(text, '[^\\w\\s]', '', 'g')))) // "
+        "greatest(length(text), 1)) AS VARCHAR) || '>', "
+        "'<stop:' || CAST(least(10, (50 * len(list_filter(tk, "
+        f"t -> t IN {stop_sql}))) // greatest(len(tk), 1)) AS VARCHAR) "
+        "|| '>']")
     return (
-        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM {src}), "
-        "b AS (SELECT doc_id, tk, CASE WHEN len(tk) >= 2 THEN "
+        f"WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM {src}), "
+        "b AS (SELECT doc_id, text, tk, CASE WHEN len(tk) >= 2 THEN "
         "list_transform(range(1, len(tk)), "
         "i -> tk[i] || ' ' || tk[i + 1]) "
         "ELSE CAST([] AS VARCHAR[]) END AS bg FROM t), "
         f"w AS (SELECT CAST({wl} AS BIGINT[]) AS wl), "
-        "f AS (SELECT doc_id, list_concat(tk, bg) AS feat "
+        "f AS (SELECT doc_id, "
+        f"list_concat(list_concat(tk, bg), {pseudo}) AS feat "
         "FROM b), "
         "s AS (SELECT doc_id, len(feat) AS n, "
         "list_sum(list_transform(feat, "

