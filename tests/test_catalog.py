@@ -494,3 +494,52 @@ def test_lifecycle_soak_compact_delete_expire_roundtrip(spark, tmp_path):
                    tdir, "append")
     inc = catalog.read_appends(spark, tdir, s_last)
     assert sorted(r.v for r in inc.collect()) == list(range(400, 410))
+
+
+def test_rewrite_ops_conflict_on_interleaved_commit(spark, tmp_path,
+                                                    monkeypatch):
+    """compact/delete classify files against a planning-time head; if a
+    commit lands before they publish, publishing would silently drop
+    the interleaved snapshot's files — the seq CAS must surface
+    CommitConflict instead. Deterministic: the staging write is
+    wrapped to inject a real append mid-operation."""
+    import pytest
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    for lo in (0, 100):
+        catalog.commit(spark.range(lo, lo + 100)
+                       .withColumnRenamed("id", "v").repartition(3),
+                       tdir, "append")
+
+    real_staging = catalog._write_staging
+    armed = {"on": False}
+
+    def inject_append_then_write(df, staging):
+        real_staging(df, staging)
+        if not armed["on"]:
+            return  # the injected append's own staging write
+        armed["on"] = False
+        # a concurrent writer advances the head AFTER the rewrite op
+        # planned its file list but BEFORE it publishes
+        catalog.commit(spark.range(500, 510)
+                       .withColumnRenamed("id", "v"), tdir, "append")
+
+    monkeypatch.setattr(catalog, "_write_staging",
+                        inject_append_then_write)
+    armed["on"] = True
+    with pytest.raises(catalog.CommitConflict):
+        catalog.compact(spark, tdir)
+    # the interleaved append's rows are intact and the table still works
+    assert catalog.read_snapshot(spark, tdir).count() == 210
+
+    armed["on"] = True
+    with pytest.raises(catalog.CommitConflict):
+        catalog.delete_where(spark, tdir, "v", "<", 50)
+    monkeypatch.undo()
+    assert catalog.read_snapshot(spark, tdir).count() == 220
+    # with no interference both ops succeed on the same table
+    assert catalog.compact(spark, tdir) is not None
+    _, stats = catalog.delete_where(spark, tdir, "v", "<", 50)
+    assert catalog.read_snapshot(spark, tdir).count() == 170
