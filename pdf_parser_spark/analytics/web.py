@@ -253,3 +253,35 @@ def page_directives(pages: DataFrame, html_col: str = "html",
         directives.contains("nofollow").alias("nofollow"),
         F.when(canon != "", canon).alias("canonical_url"),
     )
+
+
+def collapse_canonical(pages: DataFrame, html_col: str = "html",
+                       url_col: str = "url", ts_col: str = "warc_ts",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Canonical-family collapse: mirror/AMP/print variants that all
+    declare one ``rel=canonical`` target collapse to a single kept
+    capture per family — the family key is the declared canonical (the
+    page's own url when it declares none), and within a family the
+    newest capture wins (ties: lowest ``id_col``), exactly the
+    latest_captures rule.
+
+    Composition of the two tested pieces: page_directives (pure
+    projection) -> latest_captures' combinable max-struct aggregation
+    on the family key. One narrow shuffle of (family, ts, id) rows;
+    page bytes never move. noindex pages are dropped before grouping
+    (a noindex variant must not win its family and censor an
+    indexable sibling)."""
+    d = page_directives(pages, html_col, url_col)
+    keyed = (pages.select(url_col, ts_col, id_col)
+             .join(d, url_col)
+             .where(~F.col("noindex"))
+             .select(F.coalesce("canonical_url", F.col(url_col))
+                     .alias("family"), ts_col, id_col))
+    best = F.max(F.struct(F.col(ts_col).alias("ts"),
+                          (-F.col(id_col)).alias("neg_id")))
+    return (keyed.groupBy("family")
+            .agg(F.count("*").alias("n_variants"), best.alias("b"))
+            .select("family",
+                    (-F.col("b.neg_id")).cast("long").alias(id_col),
+                    F.col("b.ts").alias(ts_col),
+                    F.col("n_variants").cast("long").alias("n_variants")))

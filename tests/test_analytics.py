@@ -1302,3 +1302,37 @@ def test_page_directives_robots_and_canonical(spark):
     plan = web.page_directives(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_collapse_canonical_families(spark):
+    """AMP/mirror variants declaring one canonical collapse to the
+    newest capture of the family; undeclared pages are their own
+    family; noindex variants never win (or censor) a family."""
+    from datetime import datetime
+
+    from pdf_parser_spark.analytics import web
+
+    t = datetime(2026, 1, 1)
+    t2 = datetime(2026, 2, 1)
+    canon = b'<html><head><link rel="canonical" ' \
+            b'href="https://site.example/a"></head>x</html>'
+    plain = b"<html><body>standalone</body></html>"
+    noidx = (b'<html><head><meta name="robots" content="noindex">'
+             b'<link rel="canonical" href="https://site.example/a">'
+             b"</head>y</html>")
+    rows = [
+        ("https://site.example/a", t, plain, 1),     # the canonical itself
+        ("https://amp.site.example/a", t2, canon, 2),  # newer AMP variant
+        ("https://m.site.example/a", t, canon, 3),     # older mirror
+        ("https://other.example/b", t, plain, 4),      # own family
+        ("https://spam.example/a", t2, noidx, 5),      # noindex variant
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, doc_id long")
+    got = {r.family: r for r in web.collapse_canonical(df).collect()}
+    assert set(got) == {"https://site.example/a",
+                        "https://other.example/b"}
+    fam = got["https://site.example/a"]
+    assert fam.doc_id == 2          # newest non-noindex variant wins
+    assert fam.n_variants == 3      # noindex doc 5 excluded
+    assert got["https://other.example/b"].doc_id == 4
