@@ -51,7 +51,13 @@ def py_features(text: str) -> list[str]:
     definition shared by the trainer, the held-out eval, and the
     replay tests. MUST stay in lockstep with the Spark expressions in
     quality_classifier and the DuckDB SQL in
-    __spark_entry__._quality_clf_oracle_sql."""
+    __spark_entry__._quality_clf_oracle_sql.
+
+    Char counts assume BMP text (Python len == Spark UTF-16 length ==
+    DuckDB codepoint length — same engine-parity envelope as
+    text.LANG_SCRIPTS); astral-plane chars would shift the <len:>/
+    <punct:> buckets by engine. Fine for a web-text corpus where they
+    are noise; a non-BMP-heavy corpus should bucket on codepoints."""
     toks = _WS.split(text.strip(" "))
     feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
     n, chars = len(toks), len(text)
