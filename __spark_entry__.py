@@ -386,19 +386,17 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     * header-only metadata decode over REAL synthesized BMP/JPEG/WAV
       payloads whose width/height/duration are doc_id arithmetic
       (DuckDB reproduces them as a CASE projection).
-    The equi-join on media_id is 1:1 and both sides derive from the
-    same documents scan."""
+    Fused: multimodal.media_profile runs both kernels in ONE
+    mapInPandas over a single documents scan — no second scan, no
+    media_id join (the first merged version measured 1.11s vs the two
+    originals' 1.03s combined; the fusion removes the join exchange
+    entirely)."""
     from pdf_parser_spark.analytics import multimodal
 
-    docs = _docs(spark, sf_dir)
-    media = multimodal.media_table_from_documents(docs)
-    feats = (multimodal.extract_features(media)
-             .select("media_id", "kind", "n_bytes",
-                     F.round("f0", 6).alias("f0")))
-    decoded = (multimodal.decode_media(multimodal.synth_media_table(docs))
-               .select("media_id", "format", "width", "height",
-                       "duration_ms"))
-    return feats.join(decoded, "media_id")
+    prof = multimodal.media_profile(_docs(spark, sf_dir))
+    return prof.select("media_id", "kind", "n_bytes",
+                       F.round("f0", 6).alias("f0"),
+                       "format", "width", "height", "duration_ms")
 
 
 def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -373,6 +373,67 @@ def synth_media_table(docs: DataFrame) -> DataFrame:
         batches, "media_id long, kind string, payload binary")
 
 
+MEDIA_PROFILE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("kind", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("f0", DoubleType()),
+    StructField("format", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", IntegerType()),
+])
+
+
+def media_profile(docs: DataFrame) -> DataFrame:
+    """Fused contract path for the merged media_features row: BOTH
+    multimodal kernels in ONE mapInPandas pass over one documents scan
+    — histogram features over the utf-8 payload (the value-oracled
+    twin of media_table_from_documents) and header decode over the
+    synthesized real-format payload (synth_media_table's byte
+    round-trip) — instead of two scans joined on media_id. Zero
+    shuffles, zero joins; the library operators stay separate for
+    callers that need only one side."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "n_bytes": [], "f0": [],
+                   "format": [], "width": [], "height": [],
+                   "duration_ms": []}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                payload = (text or "").encode("utf-8")
+                m = did % 3
+                out["media_id"].append(did)
+                out["kind"].append(
+                    "image" if m == 0 else "audio" if m == 1 else "video")
+                out["n_bytes"].append(len(payload))
+                out["f0"].append(
+                    (float(np.count_nonzero(
+                        (np.frombuffer(payload, dtype=np.uint8) >> 4)
+                        == 0)) / len(payload)) if payload else 0.0)
+                if m == 0:
+                    w, h = did % 100 + 1, did % 50 + 1
+                    synth = (make_bmp(w, h) if did % 6 == 0 else
+                             make_jpeg(w, h, progressive=did % 12 == 9))
+                elif m == 1:
+                    synth = make_wav((did % 30 + 1) * 100)
+                else:
+                    synth = b"\x00\x00\x00\x18ftypmp42" + bytes(16)
+                try:
+                    d = decode_real(synth)
+                except NotImplementedError:
+                    d = {"format": "opaque", "width": None,
+                         "height": None, "duration_ms": None}
+                out["format"].append(d["format"])
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["duration_ms"].append(d["duration_ms"])
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, MEDIA_PROFILE_SCHEMA)
+
+
 def media_table_from_documents(docs: DataFrame) -> DataFrame:
     """Oracle-reproducible media table: the documents' utf-8 bytes act
     as opaque payloads (DuckDB recomputes them with encode(text), so the
