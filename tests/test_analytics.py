@@ -1336,3 +1336,32 @@ def test_collapse_canonical_families(spark):
     assert fam.doc_id == 2          # newest non-noindex variant wins
     assert fam.n_variants == 3      # noindex doc 5 excluded
     assert got["https://other.example/b"].doc_id == 4
+
+
+def test_media_profile_matches_library_operator_join(spark, docs):
+    """The fused media_profile (one scan, both kernels) must equal the
+    join of the separate library operators — the drift guard for its
+    duplicated synth/feature logic."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.analytics import multimodal
+
+    sub = docs.limit(60)
+    fused = multimodal.media_profile(sub).toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    feats = multimodal.extract_features(
+        multimodal.media_table_from_documents(sub)) \
+        .select("media_id", "kind", "n_bytes", "f0")
+    dec = multimodal.decode_media(
+        multimodal.synth_media_table(sub)) \
+        .select("media_id", "format", "width", "height", "duration_ms")
+    joined = feats.join(dec, "media_id").toPandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert list(fused.columns) == list(joined.columns)
+    for c in fused.columns:
+        a, b = fused[c], joined[c]
+        if a.dtype.kind == "f":
+            assert (a.fillna(-1) - b.fillna(-1)).abs().max() < 1e-12, c
+        else:
+            assert (a.fillna(-1).astype(str)
+                    == b.fillna(-1).astype(str)).all(), c
