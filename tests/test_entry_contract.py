@@ -30,3 +30,18 @@ def test_oracle_sql_is_runnable_duckdb():
             con.execute(f"SELECT * FROM ({sql}) LIMIT 1").fetchall()
         except Exception as e:  # pragma: no cover
             raise AssertionError(f"oracle for {name} failed: {e}") from e
+
+
+def test_contract_at_most_fifty_queries():
+    """The driver records at most 50 correctness rows (observed r4: a
+    51-key contract left hourly_events silently unchecked). Every key
+    must have a recordable row, so the contract stays at <= 50 — merge
+    queries (like the round-5 media row) before adding new ones."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    assert len(qs) <= 50, (
+        f"{len(qs)} queries exceed the driver's 50-row correctness cap; "
+        f"merge or retire one before adding more")
+    # and every query is oracle-checked (no silent rows-only drift)
+    assert set(e.oracle_sql()) == set(qs)
