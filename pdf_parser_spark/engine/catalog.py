@@ -297,15 +297,45 @@ def _read_files(spark: SparkSession, table_dir: str,
 
 
 def read_snapshot(spark: SparkSession, table_dir: str,
-                  snapshot_id: str | None = None) -> DataFrame:
+                  snapshot_id: str | None = None,
+                  prune: tuple[str, str, object] | None = None
+                  ) -> DataFrame:
     """Snapshot-isolated read (defaults to the current snapshot) under
-    the snapshot's OWN schema — time travel also travels the schema."""
+    the snapshot's OWN schema — time travel also travels the schema.
+
+    ``prune=(column, op, value)`` is manifest-level file pruning for
+    reads (the read-side twin of delete_where's classification): files
+    whose recorded bounds prove NO row can satisfy the predicate are
+    never listed into the scan, and the predicate is applied to the
+    survivors so the result equals ``read_snapshot().filter(...)``
+    exactly. A crawl-day read on a per-day-appended 10^12-doc table
+    plans over one day's files instead of the whole table — this is
+    the manifest pruning a real Iceberg reader gets from its
+    partition/file stats, expressed over the same bounds delete_where
+    uses."""
     if snapshot_id is None:
         snapshot_id = current_snapshot(table_dir)
         if snapshot_id is None:
             raise FileNotFoundError(f"no snapshots in {table_dir}")
     m = _manifest(table_dir, snapshot_id)
-    return _read_files(spark, table_dir, m, m["files"])
+    files = m["files"]
+    if prune is None:
+        return _read_files(spark, table_dir, m, files)
+    column, op, value = prune
+    if op not in _DELETE_OPS:
+        raise ValueError(f"op must be one of {_DELETE_OPS}")
+    bounds = m.get("bounds", {})
+    candidates = [f for f in files
+                  if _classify_file(bounds, f, column, op, value)
+                  != "keep"]  # 'keep' = provably zero matching rows
+    if not candidates:
+        return _read_files(spark, table_dir, m, files).limit(0)
+    from pyspark.sql import functions as F
+
+    pred = {"=": F.col(column) == value, "<": F.col(column) < value,
+            "<=": F.col(column) <= value, ">": F.col(column) > value,
+            ">=": F.col(column) >= value}[op]
+    return _read_files(spark, table_dir, m, candidates).filter(pred)
 
 
 def read_appends(spark: SparkSession, table_dir: str,
@@ -433,6 +463,62 @@ def compact(spark: SparkSession, table_dir: str,
 _DELETE_OPS = ("=", "<", "<=", ">", ">=")
 
 
+def _norm_bound_value(value, kind: str):
+    """A predicate value on the bounds' comparison scale (epoch micros
+    for 'ts', ordinal for 'date' — naive datetimes use the session
+    timezone basis the staging writer used, i.e. UTC in this sandbox).
+    ISO strings are accepted for both. None = scale mismatch (callers
+    must fall back to the always-sound read/rewrite path)."""
+    import datetime as _dt
+
+    v = value
+    if kind == "ts":
+        if isinstance(v, str):
+            v = _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            got = _stat_to_bound(v)
+            return got[0] if got else None
+        return None
+    if kind == "date":
+        if isinstance(v, str):
+            v = _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return v.toordinal()
+        return None
+    return v if isinstance(v, (int, float)) \
+        and not isinstance(v, bool) else None
+
+
+def _classify_file(bounds: dict, f: str, column: str, op: str,
+                   value) -> str:
+    """Classify one data file against ``column op value`` from its
+    manifest bounds: 'drop' = every row matches (requires zero nulls),
+    'keep' = no row can match, 'rewrite' = overlapping range / no
+    stats / scale mismatch (must be read). Shared by delete_where
+    (drop/keep/rewrite) and read-path pruning (match = drop+rewrite)."""
+    b = bounds.get(f, {}).get(column)
+    if not b:
+        return "rewrite"
+    mn, mx, nulls = b["min"], b["max"], b["nulls"]
+    value = _norm_bound_value(value, b.get("kind", ""))
+    if value is None:
+        return "rewrite"
+    no_nulls = nulls == 0
+    all_, none = False, False
+    if op == "=":
+        all_ = no_nulls and mn == value and mx == value
+        none = value < mn or value > mx
+    elif op == "<":
+        all_, none = no_nulls and mx < value, mn >= value
+    elif op == "<=":
+        all_, none = no_nulls and mx <= value, mn > value
+    elif op == ">":
+        all_, none = no_nulls and mn > value, mx <= value
+    elif op == ">=":
+        all_, none = no_nulls and mn >= value, mx < value
+    return "drop" if all_ else ("keep" if none else "rewrite")
+
+
 def delete_where(spark: SparkSession, table_dir: str, column: str,
                  op: str, value) -> tuple[str, dict]:
     """Predicate delete with manifest-level file pruning (Iceberg
@@ -456,58 +542,11 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
     if cur is None:
         raise FileNotFoundError(f"no snapshots in {table_dir}")
     m = _manifest(table_dir, cur)
-    bounds = m.get("bounds", {})
-
-    def norm_value(kind: str):
-        """The predicate value on the bounds' comparison scale (epoch
-        micros for 'ts', ordinal for 'date' — naive datetimes use the
-        session timezone basis the staging writer used, i.e. UTC in
-        this sandbox). ISO strings are accepted for both."""
-        import datetime as _dt
-
-        v = value
-        if kind == "ts":
-            if isinstance(v, str):
-                v = _dt.datetime.fromisoformat(v)
-            if isinstance(v, _dt.datetime):
-                got = _stat_to_bound(v)
-                return got[0] if got else None
-            return None
-        if kind == "date":
-            if isinstance(v, str):
-                v = _dt.date.fromisoformat(v)
-            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
-                return v.toordinal()
-            return None
-        return v if isinstance(v, (int, float)) \
-            and not isinstance(v, bool) else None
-
-    def classify(f: str) -> str:
-        b = bounds.get(f, {}).get(column)
-        if not b:
-            return "rewrite"
-        mn, mx, nulls = b["min"], b["max"], b["nulls"]
-        value = norm_value(b.get("kind", ""))
-        if value is None:  # value/stat scale mismatch: stay sound
-            return "rewrite"
-        no_nulls = nulls == 0
-        all_, none = False, False
-        if op == "=":
-            all_ = no_nulls and mn == value and mx == value
-            none = value < mn or value > mx
-        elif op == "<":
-            all_, none = no_nulls and mx < value, mn >= value
-        elif op == "<=":
-            all_, none = no_nulls and mx <= value, mn > value
-        elif op == ">":
-            all_, none = no_nulls and mn > value, mx <= value
-        elif op == ">=":
-            all_, none = no_nulls and mn >= value, mx < value
-        return "drop" if all_ else ("keep" if none else "rewrite")
 
     groups: dict[str, list[str]] = {"drop": [], "keep": [], "rewrite": []}
     for f in m["files"]:
-        groups[classify(f)].append(f)
+        groups[_classify_file(m.get("bounds", {}), f, column, op,
+                              value)].append(f)
 
     data_dir = os.path.join(table_dir, "data")
     snap_id = uuid.uuid4().hex[:12]
@@ -535,7 +574,8 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
         os.rmdir(staging)
 
     keep_set = set(groups["keep"])
-    new_bounds = {f: b for f, b in bounds.items() if f in keep_set}
+    new_bounds = {f: b for f, b in m.get("bounds", {}).items()
+                  if f in keep_set}
     for f in new_files:
         new_bounds[f] = _file_bounds(os.path.join(data_dir, f))
     seq = int(m["sequence"]) + 1  # planning-time head: see compact()

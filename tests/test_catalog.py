@@ -543,3 +543,41 @@ def test_rewrite_ops_conflict_on_interleaved_commit(spark, tmp_path,
     assert catalog.compact(spark, tdir) is not None
     _, stats = catalog.delete_where(spark, tdir, "v", "<", 50)
     assert catalog.read_snapshot(spark, tdir).count() == 170
+
+
+def test_read_snapshot_prune_scans_only_candidate_files(spark, tmp_path):
+    """Read-path manifest pruning: a bounded predicate read lists only
+    the files whose bounds admit matches (verified via the scan's
+    input-file list), and the result equals the unpruned filter
+    exactly — including on timestamp columns."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    for day in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(f"u{day}{i}", datetime(2026, 1, day, i), day * 100 + i)
+             for i in range(1, 6)],
+            "url string, warc_ts timestamp, v int").coalesce(1)
+        catalog.commit(df, tdir, "append")
+
+    pruned = catalog.read_snapshot(spark, tdir,
+                                   prune=("warc_ts", ">=",
+                                          datetime(2026, 1, 3)))
+    full = catalog.read_snapshot(spark, tdir) \
+        .filter(F.col("warc_ts") >= datetime(2026, 1, 3))
+    assert sorted(r.v for r in pruned.collect()) == \
+        sorted(r.v for r in full.collect())
+    # the pruned plan reads ONE file; the full read lists three
+    n_in = len(pruned.inputFiles())
+    assert n_in == 1, pruned.inputFiles()
+    assert len(catalog.read_snapshot(spark, tdir).inputFiles()) == 3
+
+    # numeric prune + a predicate matching nothing
+    p2 = catalog.read_snapshot(spark, tdir, prune=("v", "=", 204))
+    assert [r.url for r in p2.collect()] == ["u24"]
+    empty = catalog.read_snapshot(spark, tdir, prune=("v", ">", 999))
+    assert empty.count() == 0
