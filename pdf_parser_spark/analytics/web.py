@@ -285,3 +285,44 @@ def collapse_canonical(pages: DataFrame, html_col: str = "html",
                     (-F.col("b.neg_id")).cast("long").alias(id_col),
                     F.col("b.ts").alias(ts_col),
                     F.col("n_variants").cast("long").alias("n_variants")))
+
+
+def host_suffixes(host_col):
+    """All registrable suffixes of a host: 'a.b.example.com' ->
+    ['a.b.example.com', 'b.example.com', 'example.com', 'com'] — an
+    expression-level explode key so suffix blocking becomes an
+    EQUI-join (suffix match is not joinable directly)."""
+    parts = F.split(host_col, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n), "."))
+
+
+def url_filter_hosts(docs: DataFrame, blocked_hosts: DataFrame,
+                     url_col: str = "url") -> DataFrame:
+    """URL blocking against a blocklist TABLE (the UT1/adult-list scale
+    path — the literal rules in url_filter_exprs cover self-contained
+    heuristics, but a production blocklist is millions of domains and
+    ships as data): a doc is dropped when ANY suffix of its url host
+    appears in ``blocked_hosts(host string)`` — so blocking
+    'example.com' also blocks 'ads.example.com'.
+
+    Spark shape: explode each url's O(labels) suffixes into an
+    equi-key, broadcast-hash-join the blocklist to find the HIT docs,
+    then broadcast the hit-list back for a left-anti reassembly — zero
+    corpus shuffles while the hits stay broadcast-sized (they are the
+    blocked fraction, typically a few %). If the hit-list outgrows the
+    broadcast threshold, drop that hint and AQE falls back to one
+    corpus exchange on doc_id — the unavoidable regroup."""
+    df = docs if url_col in docs.columns else with_url(docs)
+    keyed = df.withColumn("_host", F.lower(
+        F.coalesce(host_of(F.col(url_col)), F.lit(""))))
+    pairs = keyed.select(
+        "doc_id", F.explode(host_suffixes(F.col("_host"))).alias("_sfx"))
+    blocked = (pairs.join(
+        F.broadcast(blocked_hosts.select(
+            F.lower("host").alias("_sfx")).distinct()), "_sfx")
+        .select("doc_id").distinct())
+    return keyed.join(F.broadcast(blocked), "doc_id",
+                      "left_anti").drop("_host")

@@ -1365,3 +1365,28 @@ def test_media_profile_matches_library_operator_join(spark, docs):
         else:
             assert (a.fillna(-1).astype(str)
                     == b.fillna(-1).astype(str)).all(), c
+
+
+def test_url_filter_hosts_suffix_blocklist_join(spark):
+    """Blocklist-table URL blocking: blocking a registrable domain also
+    blocks its subdomains, exact hosts block only themselves, and the
+    plan is a broadcast equi-join with no corpus shuffle."""
+    from pdf_parser_spark.analytics import web
+
+    rows = [
+        (1, "https://ads.example.com/x"),       # subdomain of blocked
+        (2, "https://example.com/y"),           # blocked exactly
+        (3, "https://notexample.com/z"),        # NOT a suffix match
+        (4, "https://good.site.org/a"),
+        (5, "https://tracker.good.site.org/b"),  # exact-host block
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    bl = spark.createDataFrame(
+        [("example.com",), ("tracker.good.site.org",)], "host string")
+    kept = sorted(r.doc_id for r in
+                  web.url_filter_hosts(docs, bl).collect())
+    assert kept == [3, 4]
+    plan = web.url_filter_hosts(docs, bl)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
