@@ -4,6 +4,7 @@ all DuckDB-expressible for the oracle."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -486,3 +487,31 @@ def vocabulary(docs: DataFrame, text_col: str = "text",
             .agg(F.count("*").alias("n_occurrences"),
                  F.count_distinct("doc_id").alias("n_docs"))
             .where(F.col("n_occurrences") >= min_count))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   form: str = "NFC",
+                   out_col: str | None = None) -> DataFrame:
+    """Unicode normalization (CCNet/Dolma run NFC/NFKC before any
+    hashing): a decomposed 'e'+COMBINING-ACUTE and its composed 'é'
+    twin are byte-different — every hash-based dedup/fingerprint
+    operator in this module would treat them as distinct documents
+    unless normalization runs first.
+
+    Spark has no built-in normalizer, so this is the sanctioned
+    Arrow-batched pandas-UDF path (per-row Python, but unicodedata.
+    normalize is C-speed and the fast-path check for already-normalized
+    text — the overwhelming web majority — is O(1) per ASCII run).
+    Replaces ``text_col`` in place unless ``out_col`` is given; DuckDB
+    cross-checks the NFC form via nfc_normalize (tests)."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    @F.pandas_udf("string")
+    def norm(col: pd.Series) -> pd.Series:
+        return col.map(lambda t: unicodedata.normalize(form, t)
+                       if t is not None else None)
+
+    return docs.withColumn(out_col or text_col, norm(F.col(text_col)))

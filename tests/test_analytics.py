@@ -1390,3 +1390,46 @@ def test_url_filter_hosts_suffix_blocklist_join(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_normalize_text_nfc_cross_engine(spark):
+    """NFC normalization: composed/decomposed twins become identical
+    (so downstream hash dedup can match them), ASCII is untouched,
+    NULLs survive, and the NFC form agrees with DuckDB's
+    nfc_normalize on every row (cross-engine)."""
+    import duckdb
+    import unicodedata
+
+    from pdf_parser_spark.analytics import text as T
+    from pdf_parser_spark.analytics.dedup import exact_duplicates
+
+    composed = "café résumé"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # genuinely byte-different twins
+    rows = [(1, composed), (2, decomposed), (3, "plain ascii"),
+            (4, "가 vs 가"), (5, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text
+           for r in T.normalize_text(docs).collect()}
+    assert out[1] == out[2] == composed
+    assert out[3] == "plain ascii"
+    assert out[4] == "가 vs 가"  # jamo sequence composes
+    assert out[5] is None
+
+    # the normalized twins now EXACT-dedup together: one hash group
+    # holds docs 1+2 with canonical 1 (pre-normalization they differ)
+    dd = exact_duplicates(
+        T.normalize_text(docs).where("text IS NOT NULL")).collect()
+    merged = [r for r in dd if r.n_copies == 2]
+    assert len(merged) == 1 and merged[0].canonical_doc_id == 1
+    pre = exact_duplicates(docs.where("text IS NOT NULL")).collect()
+    assert all(r.n_copies == 1 for r in pre)
+
+    con = duckdb.connect()
+    got = dict(con.execute(
+        "SELECT doc_id, nfc_normalize(text) FROM (SELECT "
+        "unnest([1,2,3,4]) AS doc_id, unnest(?) AS text)",
+        [[composed, decomposed, "plain ascii",
+          "가 vs 가"]]).fetchall())
+    for i in (1, 2, 3, 4):
+        assert out[i] == got[i], i
