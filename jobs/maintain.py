@@ -41,6 +41,9 @@ def main() -> None:
     p_expire.add_argument("--older-than-s", type=float, default=None,
                           help="retention window: only expire snapshots "
                                "at least this many seconds old")
+    p_expire.add_argument("--gc-grace-s", type=float, default=600.0,
+                          help="never GC unreferenced data files younger "
+                               "than this (in-flight commit protection)")
 
     p_delete = sub.add_parser("delete")
     p_delete.add_argument("--column", required=True)
@@ -59,7 +62,8 @@ def main() -> None:
         # pure manifest/file surgery — no SparkSession needed
         out = catalog.expire_snapshots(args.table,
                                        keep_last=args.keep_last,
-                                       older_than_s=args.older_than_s)
+                                       older_than_s=args.older_than_s,
+                                       gc_grace_s=args.gc_grace_s)
         print(json.dumps({"op": "expire", **out}))
         return
     if args.cmd == "history":

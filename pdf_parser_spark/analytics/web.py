@@ -214,7 +214,8 @@ def url_filter(docs: DataFrame, url_col: str = "url",
 # -- page directives (robots meta / canonical link) --------------------------
 
 def page_directives(pages: DataFrame, html_col: str = "html",
-                    url_col: str = "url") -> DataFrame:
+                    url_col: str = "url",
+                    id_col: str | None = None) -> DataFrame:
     """Per-page crawl directives straight off the raw bytes:
     ``noindex``/``nofollow`` from ``<meta name="robots">`` and the
     ``rel="canonical"`` link target. A crawl pipeline drops noindex
@@ -227,8 +228,8 @@ def page_directives(pages: DataFrame, html_col: str = "html",
     inspected; the full html column never leaves the JVM). Attribute
     order is handled by matching either (name=..content=..) order;
     HTML entity/e.g. case variance by lowercasing first."""
-    head = F.lower(F.decode(
-        F.substring(F.col(html_col), 1, 8192), "UTF-8"))
+    head = F.coalesce(F.lower(F.decode(
+        F.substring(F.col(html_col), 1, 8192), "UTF-8")), F.lit(""))
     robots = F.regexp_extract(
         head,
         r'<meta[^>]*name\s*=\s*["\']robots["\'][^>]*'
@@ -248,6 +249,7 @@ def page_directives(pages: DataFrame, html_col: str = "html",
         r'rel\s*=\s*["\']canonical["\']', 1)
     canon = F.when(canonical != "", canonical).otherwise(canonical2)
     return pages.select(
+        *([id_col] if id_col else []),
         url_col,
         directives.contains("noindex").alias("noindex"),
         directives.contains("nofollow").alias("nofollow"),
@@ -266,14 +268,17 @@ def collapse_canonical(pages: DataFrame, html_col: str = "html",
     latest_captures rule.
 
     Composition of the two tested pieces: page_directives (pure
-    projection) -> latest_captures' combinable max-struct aggregation
-    on the family key. One narrow shuffle of (family, ts, id) rows;
-    page bytes never move. noindex pages are dropped before grouping
-    (a noindex variant must not win its family and censor an
-    indexable sibling)."""
-    d = page_directives(pages, html_col, url_col)
+    projection, keyed by ``id_col`` — keying by url would multiply
+    rows for a url with several captures and let one capture inherit a
+    sibling's directives) -> latest_captures' combinable max-struct
+    aggregation on the family key. One narrow shuffle of
+    (family, ts, id) rows; page bytes never move. noindex pages are
+    dropped before grouping (a noindex variant must not win its family
+    and censor an indexable sibling)."""
+    d = page_directives(pages, html_col, url_col, id_col=id_col) \
+        .select(id_col, "noindex", "canonical_url")
     keyed = (pages.select(url_col, ts_col, id_col)
-             .join(d, url_col)
+             .join(d, id_col)
              .where(~F.col("noindex"))
              .select(F.coalesce("canonical_url", F.col(url_col))
                      .alias("family"), ts_col, id_col))

@@ -97,7 +97,13 @@ def _stat_to_bound(v) -> tuple[int | float, str] | None:
     if isinstance(v, bool):
         return None
     if isinstance(v, _dt.datetime):  # incl. pandas.Timestamp
-        epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        if v.tzinfo is not None:
+            # normalize to the UTC instant, then compare naively: file
+            # stats are UTC-based naive micros, and building the epoch
+            # with the value's own tzinfo would yield WALL-CLOCK micros
+            # (a +05:00 predicate would misclassify files by 5h)
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        epoch = _dt.datetime(1970, 1, 1)
         return round((v - epoch).total_seconds() * 1_000_000), "ts"
     if isinstance(v, _dt.date):
         return v.toordinal(), "date"
@@ -263,6 +269,9 @@ def _write_manifest(table_dir: str, seq: int, snap_id: str,
     (append does this automatically; rewrite ops surface the conflict
     because their file classifications are stale). This is the local-FS
     stand-in for Iceberg's atomic catalog pointer swap."""
+    import glob as _glob
+    import time as _time
+
     sdir = os.path.join(table_dir, "snapshots")
     os.makedirs(sdir, exist_ok=True)
     tmp = os.path.join(sdir, f".tmp-{snap_id}")
@@ -272,10 +281,28 @@ def _write_manifest(table_dir: str, seq: int, snap_id: str,
     try:
         os.link(tmp, claim)  # CAS: fails iff seq already claimed
     except FileExistsError:
-        os.remove(tmp)
-        raise CommitConflict(
-            f"sequence {seq} in {table_dir} was published by a "
-            f"concurrent writer") from None
+        # Stale-claim reclamation: a writer killed between claim and
+        # publish leaves .seq-N with no N-*.json — without this every
+        # future commit recomputes seq=N and conflicts forever. A claim
+        # is stale iff its manifest never appeared AND it is old enough
+        # that the claimant cannot still be mid-publish (publish is one
+        # rename, sub-second; 60s is conservative).
+        stale = (not _glob.glob(os.path.join(sdir, f"{seq}-*.json"))
+                 and _time.time() - os.path.getmtime(claim) > 60)
+        if stale:
+            try:
+                os.remove(claim)
+                os.link(tmp, claim)  # retry the CAS once
+            except (FileNotFoundError, FileExistsError):
+                os.remove(tmp)  # lost the reclamation race too
+                raise CommitConflict(
+                    f"sequence {seq} in {table_dir} was claimed by a "
+                    f"concurrent writer") from None
+        else:
+            os.remove(tmp)
+            raise CommitConflict(
+                f"sequence {seq} in {table_dir} was published by a "
+                f"concurrent writer") from None
     os.rename(tmp, os.path.join(sdir, f"{seq}-{snap_id}.json"))  # COMMIT
 
 
@@ -436,9 +463,11 @@ def compact(spark: SparkSession, table_dir: str,
         os.remove(os.path.join(staging, name))
     os.rmdir(staging)
 
-    keep = [f for f in m["files"] if f not in set(smalls)]
-    bounds = {f: b for f, b in m.get("bounds", {}).items() if f in
-              set(keep)}
+    smalls_set = set(smalls)  # hoisted: a 100k-file manifest would
+    keep = [f for f in m["files"] if f not in smalls_set]  # be O(F^2)
+    keep_set = set(keep)
+    bounds = {f: b for f, b in m.get("bounds", {}).items()
+              if f in keep_set}
     for f in new_files:
         bounds[f] = _file_bounds(os.path.join(data_dir, f))
     # seq from the PLANNING-TIME head (not a fresh listing): if a
@@ -601,7 +630,8 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
 
 
 def expire_snapshots(table_dir: str, keep_last: int = 2,
-                     older_than_s: float | None = None) -> dict:
+                     older_than_s: float | None = None,
+                     gc_grace_s: float = 600.0) -> dict:
     """Expire all but the newest ``keep_last`` snapshots and
     garbage-collect data files no surviving manifest references — the
     maintenance half of the immutable-snapshot design: without it a
@@ -614,6 +644,13 @@ def expire_snapshots(table_dir: str, keep_last: int = 2,
     expire_snapshots(older_than=...) retention window: keep yesterday's
     snapshots for time travel/debugging, expire last month's), judged
     by manifest file mtime so pre-round-5 manifests work too.
+
+    ``gc_grace_s``: an unreferenced data file younger than this is NOT
+    collected — an in-flight commit renames its files into data/
+    BEFORE publishing a manifest, so without the grace window a
+    concurrently-running expire would GC a commit's files out from
+    under it and its published head would reference nothing. Pass 0
+    only when no writer can be active.
 
     Returns {"expired": [ids...], "removed_files": n}."""
     import time as _time
@@ -638,15 +675,27 @@ def expire_snapshots(table_dir: str, keep_last: int = 2,
     # manifests first: a crash between the two phases leaves only
     # unreferenced files (re-running GC collects them), never a live
     # manifest pointing at deleted data
-    for _, _, path in expire:
+    sdir = os.path.join(table_dir, "snapshots")
+    for seq, _, path in expire:
         os.remove(path)
+        # the seq-claim hard link would otherwise keep the expired
+        # manifest's content alive on disk forever (and accumulate one
+        # entry per commit); claims of surviving seqs stay untouched
+        claim = os.path.join(sdir, f".seq-{seq}")
+        if os.path.exists(claim):
+            os.remove(claim)
     data_dir = os.path.join(table_dir, "data")
     removed = 0
+    now = _time.time()
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
-            if name.endswith(".parquet") and name not in live:
-                os.remove(os.path.join(data_dir, name))
-                removed += 1
+            if not name.endswith(".parquet") or name in live:
+                continue
+            p = os.path.join(data_dir, name)
+            if now - os.path.getmtime(p) < gc_grace_s:
+                continue  # possibly an in-flight commit's staged file
+            os.remove(p)
+            removed += 1
     return {"expired": [s for _, s, _ in expire], "removed_files": removed}
 
 

@@ -1433,3 +1433,35 @@ def test_normalize_text_nfc_cross_engine(spark):
           "가 vs 가"]]).fetchall())
     for i in (1, 2, 3, 4):
         assert out[i] == got[i], i
+
+
+def test_collapse_canonical_multi_capture_url_no_multiplication(spark):
+    """Review finding (r5): directives must key by doc_id — a url with
+    several captures must not multiply n_variants or let a capture
+    inherit a SIBLING capture's noindex/canonical directives; NULL html
+    counts as directive-free, not dropped."""
+    from datetime import datetime
+
+    from pdf_parser_spark.analytics import web
+
+    t1, t2 = datetime(2026, 1, 1), datetime(2026, 2, 1)
+    canon = b'<html><head><link rel="canonical" ' \
+            b'href="https://site.example/a"></head>x</html>'
+    noidx = (b'<html><head><meta name="robots" content="noindex">'
+             b"</head>y</html>")
+    rows = [
+        # same url captured twice: newer capture is noindex, older is
+        # canonical-declaring — the noindex capture must NOT survive
+        # via its sibling's directives row
+        ("https://m.site.example/a", t1, canon, 1),
+        ("https://m.site.example/a", t2, noidx, 2),
+        ("https://site.example/a", t1, None, 3),   # NULL html: no dirs
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, doc_id long")
+    got = {r.family: r for r in web.collapse_canonical(df).collect()}
+    fam = got["https://site.example/a"]
+    # docs 1 (declares the family) and 3 (own url IS the family) are
+    # in; noindex doc 2 is out; n_variants counts rows once each
+    assert fam.n_variants == 2
+    assert fam.doc_id == 1  # t1 tie -> lowest doc_id; doc 2 excluded

@@ -250,7 +250,7 @@ def test_expire_snapshots_gc(spark, tmp_path):
                         .repartition(4), tdir, "append")
     sc = catalog.compact(spark, tdir)
     n_files_pre = len(os.listdir(os.path.join(tdir, "data")))
-    out = catalog.expire_snapshots(tdir, keep_last=1)
+    out = catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=0)
     assert set(out["expired"]) == {s1, s2}
     # the 8 superseded small files are gone, compacted files remain
     assert out["removed_files"] == 8
@@ -261,7 +261,7 @@ def test_expire_snapshots_gc(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         catalog.read_snapshot(spark, tdir, s1)
     # nothing left to expire
-    assert catalog.expire_snapshots(tdir, keep_last=1) == {
+    assert catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=0) == {
         "expired": [], "removed_files": 0}
 
 
@@ -275,7 +275,7 @@ def test_expire_keeps_files_shared_with_survivors(spark, tmp_path):
                    .coalesce(1), tdir, "append")
     catalog.commit(spark.range(10, 20).withColumnRenamed("id", "v")
                    .coalesce(1), tdir, "append")
-    out = catalog.expire_snapshots(tdir, keep_last=1)
+    out = catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=0)
     assert out["removed_files"] == 0  # snapshot 2 references both files
     assert sorted(
         r.v for r in catalog.read_snapshot(spark, tdir).collect()
@@ -295,7 +295,7 @@ def test_incremental_scan_refuses_expired_range(spark, tmp_path):
     catalog.commit(spark.range(10, 20).withColumnRenamed("id", "v"),
                    tdir, "append")
     catalog.compact(spark, tdir)
-    catalog.expire_snapshots(tdir, keep_last=1)
+    catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=0)
     with pytest.raises((FileNotFoundError, ValueError)):
         catalog.read_appends(spark, tdir, s1)
 
@@ -413,14 +413,16 @@ def test_expire_snapshots_older_than_window(spark, tmp_path):
     old = time.time() - 3600
     os.utime(mpath[s1], (old, old))
 
-    out = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600)
+    out = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600,
+                                   gc_grace_s=0)
     assert out["expired"] == [s1]
     # s2 (young, non-head) survived with its data readable
     assert catalog.read_snapshot(spark, tdir, s2).count() == 20
     assert catalog.read_snapshot(spark, tdir, s3).count() == 30
     # aging s2 too lets the window expire it
     os.utime(mpath[s2], (old, old))
-    out2 = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600)
+    out2 = catalog.expire_snapshots(tdir, keep_last=1, older_than_s=600,
+                                    gc_grace_s=0)
     assert out2["expired"] == [s2] and out2["removed_files"] == 1
 
 
@@ -479,7 +481,7 @@ def test_lifecycle_soak_compact_delete_expire_roundtrip(spark, tmp_path):
     catalog.delete_where(spark, tdir, "v", ">=", 250)
     catalog.commit(spark.range(300, 350).withColumnRenamed("id", "v"),
                    tdir, "append")
-    out = catalog.expire_snapshots(tdir, keep_last=1)
+    out = catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=0)
     assert out["expired"]  # history collapsed to the head
     got = sorted(r.v for r in catalog.read_snapshot(spark, tdir).collect())
     assert got == list(range(250)) + list(range(300, 350))
@@ -581,3 +583,119 @@ def test_read_snapshot_prune_scans_only_candidate_files(spark, tmp_path):
     assert [r.url for r in p2.collect()] == ["u24"]
     empty = catalog.read_snapshot(spark, tdir, prune=("v", ">", 999))
     assert empty.count() == 0
+
+
+def test_expire_gc_grace_protects_inflight_files(spark, tmp_path):
+    """Review finding (r5): GC must not collect a YOUNG unreferenced
+    data file — an in-flight commit renames its files into data/
+    before publishing a manifest, so only files older than gc_grace_s
+    are collectable."""
+    import os
+    import time
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    catalog.commit(spark.range(10).withColumnRenamed("id", "v")
+                   .coalesce(1), tdir, "append")
+    catalog.commit(spark.range(10).withColumnRenamed("id", "v")
+                   .coalesce(1), tdir, "overwrite")
+    data_dir = os.path.join(tdir, "data")
+    # simulate an in-flight commit: a fresh data file with no manifest
+    orphan = os.path.join(data_dir, "zzzz-inflight.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1 pretend")
+    out = catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=300)
+    assert out["expired"]
+    assert os.path.exists(orphan)      # young: protected by the grace
+    # the superseded (old-enough) file IS collectable once aged
+    old = time.time() - 600
+    for name in os.listdir(data_dir):
+        os.utime(os.path.join(data_dir, name), (old, old))
+    catalog.commit(spark.range(5).withColumnRenamed("id", "v"),
+                   tdir, "overwrite")
+    out2 = catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=300)
+    assert not os.path.exists(orphan)  # aged past the grace: collected
+
+
+def test_delete_where_timezone_aware_value(spark, tmp_path):
+    """Review finding (r5): a tz-aware predicate value must classify
+    files by its UTC INSTANT, not its wall-clock fields — and agree
+    with the Spark rewrite filter and the brute-force result."""
+    from datetime import datetime, timedelta, timezone
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    for day in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(f"u{day}{i}", datetime(2026, 1, day, i), day * 100 + i)
+             for i in range(1, 6)],
+            "url string, warc_ts timestamp, v int").coalesce(1)
+        catalog.commit(df, tdir, "append")
+    # 2026-01-02T05:00+05:00 == 2026-01-02T00:00Z: day 1 drops whole,
+    # days 2-3 keep whole — wall-clock normalization would instead
+    # overlap day 2 and rewrite (or worse, drop) it
+    value = datetime(2026, 1, 2, 5, 0,
+                     tzinfo=timezone(timedelta(hours=5)))
+    snap, stats = catalog.delete_where(spark, tdir, "warc_ts", "<",
+                                       value)
+    assert stats == {"dropped": 1, "kept": 2, "rewritten": 0}
+    left = catalog.read_snapshot(spark, tdir)
+    assert left.count() == 10
+    assert left.agg(F.min("v")).collect()[0][0] == 201
+
+
+def test_stale_seq_claim_reclaimed(spark, tmp_path):
+    """Review finding (r5): a writer killed between the seq-claim link
+    and the manifest rename must not wedge the table — an aged claim
+    with no matching manifest is reclaimed by the next commit."""
+    import os
+    import time
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    catalog.commit(spark.range(10).withColumnRenamed("id", "v"),
+                   tdir, "append")
+    # simulate the crash: claim seq 2, no 2-*.json ever appears
+    sdir = os.path.join(tdir, "snapshots")
+    claim = os.path.join(sdir, ".seq-2")
+    with open(claim, "w") as f:
+        f.write("{}")
+    old = time.time() - 120
+    os.utime(claim, (old, old))        # aged past the 60s window
+    s2 = catalog.commit(spark.range(10, 20).withColumnRenamed("id", "v"),
+                        tdir, "append")
+    assert catalog.current_snapshot(tdir) == s2
+    assert catalog.read_snapshot(spark, tdir).count() == 20
+    # a FRESH claim (a writer mid-publish) is NOT stolen
+    claim3 = os.path.join(sdir, ".seq-3")
+    with open(claim3, "w") as f:
+        f.write("{}")
+    import pytest
+
+    with pytest.raises(catalog.CommitConflict):
+        catalog._write_manifest(tdir, 3, "xyz", {"snapshot_id": "xyz"})
+
+
+def test_expire_removes_expired_seq_claims(spark, tmp_path):
+    """Review finding (r5): expired snapshots' .seq-N claim hard links
+    are removed too (they would otherwise pin the manifest content on
+    disk and accumulate forever); surviving claims stay."""
+    import os
+
+    from pdf_parser_spark.engine import catalog
+
+    tdir = str(tmp_path / "tbl")
+    for lo in (0, 10, 20):
+        catalog.commit(spark.range(lo, lo + 10)
+                       .withColumnRenamed("id", "v"), tdir, "append")
+    sdir = os.path.join(tdir, "snapshots")
+    assert {".seq-1", ".seq-2", ".seq-3"} <= set(os.listdir(sdir))
+    catalog.expire_snapshots(tdir, keep_last=1, gc_grace_s=0)
+    names = set(os.listdir(sdir))
+    assert ".seq-1" not in names and ".seq-2" not in names
+    assert ".seq-3" in names
