@@ -499,3 +499,57 @@ def test_sessionize_idle_flush_closes_open_sessions(spark, tmp_path):
                 r.n_events) == (1, 1000, 1500, 2)
     finally:
         q.stop()
+
+
+def test_near_dedup_stream_ttl_forgets_idle_buckets(spark, tmp_path):
+    """near_dedup_stream's ttl_ms: an LSH bucket idle past the horizon
+    is dropped, so a near-duplicate arriving AFTER expiry is no longer
+    flagged against the forgotten earlier doc — while within the TTL
+    it is. Continuous trigger + sink polling (same harness rationale
+    as the exact-dedup TTL test)."""
+    import time
+
+    from pdf_parser_spark.streaming.dedup import near_dedup_stream
+
+    src = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ck")
+    os.makedirs(src, exist_ok=True)
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+
+    def feed(rows, name):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, name))
+
+    def flags():
+        try:
+            return sorted({(r.doc_id, r.dup_of) for r in
+                           spark.read.parquet(out).collect()})
+        except Exception:
+            return []
+
+    feed([(10, base)], "b1.parquet")
+    q = (near_dedup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(src),
+            ttl_ms=2500)
+         .writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", ckpt)
+         .outputMode("append")
+         .trigger(processingTime="1 second").start())
+    try:
+        time.sleep(2)  # within TTL: near-dup must be flagged
+        feed([(20, base + " tail")], "b2.parquet")
+        t0 = time.time()
+        while time.time() - t0 < 60 and (20, 10) not in flags():
+            time.sleep(0.5)
+        assert (20, 10) in flags()
+        # idle past TTL: buckets (incl. doc 20's re-arm) expire
+        time.sleep(6)
+        feed([(30, base + " other tail")], "b3.parquet")
+        time.sleep(8)  # several triggers process b3 and would flag it
+        assert not any(d == 30 for d, _ in flags()), flags()
+    finally:
+        q.stop()
