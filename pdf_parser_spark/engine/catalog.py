@@ -728,10 +728,12 @@ def rollback(table_dir: str, snapshot_id: str) -> str:
 
 
 def history(table_dir: str) -> list[dict]:
-    return [
-        {"sequence": seq, "snapshot_id": snap,
-         **{k: v for k, v in _manifest(table_dir, snap).items()
-            if k in ("operation", "parent")},
-         "n_files": len(_manifest(table_dir, snap)["files"])}
-        for seq, snap, _ in _snapshots(table_dir)
-    ]
+    out = []
+    for seq, snap, path in _snapshots(table_dir):  # one read per snap
+        with open(path) as f:
+            m = json.load(f)
+        out.append({"sequence": seq, "snapshot_id": snap,
+                    **{k: v for k, v in m.items()
+                       if k in ("operation", "parent")},
+                    "n_files": len(m["files"])})
+    return out
