@@ -539,17 +539,29 @@ def test_near_dedup_stream_ttl_forgets_idle_buckets(spark, tmp_path):
          .option("checkpointLocation", ckpt)
          .outputMode("append")
          .trigger(processingTime="1 second").start())
+    def await_flag(pair, deadline_s=60):
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            got = flags()
+            if pair in got:
+                return got
+            time.sleep(0.5)
+        raise AssertionError(f"never saw {pair}, last {flags()}")
+
     try:
         time.sleep(2)  # within TTL: near-dup must be flagged
         feed([(20, base + " tail")], "b2.parquet")
-        t0 = time.time()
-        while time.time() - t0 < 60 and (20, 10) not in flags():
-            time.sleep(0.5)
-        assert (20, 10) in flags()
+        await_flag((20, 10))
         # idle past TTL: buckets (incl. doc 20's re-arm) expire
         time.sleep(6)
         feed([(30, base + " other tail")], "b3.parquet")
-        time.sleep(8)  # several triggers process b3 and would flag it
-        assert not any(d == 30 for d, _ in flags()), flags()
+        time.sleep(3)  # doc 30 lands in now-empty buckets, unflagged
+        # positive post-expiry probe: doc 40 near-dups doc 30 and MUST
+        # flag (40, 30) — proving b3 was genuinely processed into fresh
+        # bucket state, which makes the doc-30-unflagged assertion
+        # non-vacuous (a stalled stream can't fake this)
+        feed([(40, base + " other tail extra")], "b4.parquet")
+        got = await_flag((40, 30))
+        assert not any(d == 30 for d, _ in got), got
     finally:
         q.stop()
