@@ -45,3 +45,25 @@ def test_contract_at_most_fifty_queries():
         f"merge or retire one before adding more")
     # and every query is oracle-checked (no silent rows-only drift)
     assert set(e.oracle_sql()) == set(qs)
+
+
+def test_operator_index_is_fresh():
+    """docs/OPERATORS.md is auto-generated; a stale index misleads the
+    next user, so regenerating must be a no-op. (Fails after adding an
+    operator until `python tools/gen_operator_index.py` is re-run.)"""
+    import io
+    import pathlib
+    from contextlib import redirect_stdout
+
+    import tools.gen_operator_index as gen
+
+    path = pathlib.Path("docs/OPERATORS.md")
+    before = path.read_text()
+    try:
+        with redirect_stdout(io.StringIO()):
+            gen.main()
+        assert path.read_text() == before, (
+            "docs/OPERATORS.md is stale — run "
+            "python tools/gen_operator_index.py")
+    finally:
+        path.write_text(before)
