@@ -27,6 +27,10 @@ Plan-shape notes for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
+import re
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -59,33 +63,251 @@ def perm_params(j: int) -> tuple[int, int]:
     return 1103515245 + 2 * j + 1, 12345 + 7919 * j
 
 
+# -- vectorized token/shingle hashing (Arrow UDFs) ---------------------------
+#
+# r6 optimization (guide §4.2): the expression form — one
+# conv(substring(md5(token),1,15),16,10) per token INSIDE a transform()
+# lambda — runs interpreted (higher-order functions get no codegen) and
+# measured ~35 us per token: the md5 pass alone cost ~3 s of the sf1.0
+# wall for every shingle-family query. The Arrow path below computes
+# the IDENTICAL values (hashlib md5 == JVM md5; first 60 bits) with a
+# per-task token-hash memo (natural-language vocabularies repeat
+# tokens thousands of times) and numpy for the rolling combine —
+# measured ~50x less CPU for the same output (parity locked by
+# tests/test_analytics.py::test_shingle_udf_matches_expression_form).
+#
+# Tokenization parity: Spark's split(trim(text), '\\s+') means Java
+# regex \s (ASCII [ \t\n\x0B\f\r]) over a string trimmed of SPACES
+# only, keeping leading/trailing empty tokens — mirrored exactly.
+
+_JAVA_WS_RE = re.compile("[ \t\n\x0b\f\r]+")
+_MEMO_CAP = 2_000_000  # bound per-task memo growth on huge vocabularies
+_JAVA_WS_EDGE = "\t\n\x0b\f\r"
+
+
+def _java_tokens(t: str) -> list[str]:
+    """Tokens of ``split(trim(text), '\\s+')`` with Java semantics.
+
+    Fast path (C-speed ``str.split``, ~6x the regex) when provably
+    equivalent: ASCII text with none of \\x1c-\\x1f (ASCII chars that
+    Python's whitespace split honors but Java's \\s does not). Java
+    split keeps leading/trailing empty tokens for edge whitespace —
+    restored from O(1) first/last-char checks. Everything else takes
+    the exact regex path."""
+    s = t.strip(" ")
+    if s.isascii() and "\x1c" not in s and "\x1d" not in s \
+            and "\x1e" not in s and "\x1f" not in s:
+        if not s:
+            return [""]
+        toks = s.split()
+        if s[0] in _JAVA_WS_EDGE:
+            toks.insert(0, "")
+        if s[-1] in _JAVA_WS_EDGE:
+            toks.append("")
+        return toks
+    return _JAVA_WS_RE.split(s)
+
+
+def _sh_np(text: str | None, n: int, memo: dict) -> np.ndarray | None:
+    """Hashed token n-gram shingles of one document (int64 numpy array;
+    same values as the expression pipeline in the module docstring)."""
+    if text is None:
+        return None
+    toks = _java_tokens(text)
+    th = np.empty(len(toks), dtype=np.int64)
+    get = memo.get
+    for i, tok in enumerate(toks):
+        v = get(tok)
+        if v is None:
+            if len(memo) > _MEMO_CAP:
+                memo.clear()
+            v = memo[tok] = (int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big") >> 4)
+        th[i] = v
+    if len(th) >= n:
+        m = len(th) - n + 1
+        thp = th % P
+        z = thp[:m].copy()
+        for k in range(1, n):
+            z *= 31
+            z += thp[k:k + m]
+            z %= P
+        return z
+    return th[:1] % P
+
+
+def _sh_batch(texts, n: int, memo: dict,
+              distinct: bool) -> list:
+    """Batch form of ``_sh_np``: one flat vectorized pass over every
+    document in the batch (identical values). Tokens are integer-coded
+    with ``pd.factorize`` so md5 runs once per DISTINCT token (plus the
+    cross-batch memo); the rolling n-gram combine and the per-row
+    distinct reduction run as single numpy passes over the concatenated
+    token stream — no per-row Python beyond the regex split. Measured
+    ~5x the per-row ``_sh_np`` loop (which itself was ~50x the
+    interpreted expression form)."""
+    idxs = [i for i, t in enumerate(texts) if t is not None]
+    tok_lists = [_java_tokens(texts[i]) for i in idxs]
+    out: list = [None] * len(texts)
+    if not idxs:
+        return out
+    lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                       count=len(tok_lists))
+    total = int(lens.sum())
+    from itertools import chain
+    flat = np.fromiter(chain.from_iterable(tok_lists), dtype=object,
+                       count=total)
+    codes, uniq = pd.factorize(flat)
+    hv = np.empty(len(uniq), dtype=np.int64)
+    get = memo.get
+    for k, tok in enumerate(uniq):
+        v = get(tok)
+        if v is None:
+            if len(memo) > _MEMO_CAP:
+                memo.clear()
+            v = memo[tok] = (int.from_bytes(
+                hashlib.md5(tok.encode("utf-8")).digest()[:8], "big") >> 4)
+        hv[k] = v
+    thp = hv[codes] % P
+
+    starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    long_m = lens >= n
+    m = np.where(long_m, lens - (n - 1), 1)
+    # grouped arange: global positions of every shingle's first token
+    mstarts = np.zeros(len(m), dtype=np.int64)
+    np.cumsum(m[:-1], out=mstarts[1:])
+    tm = int(m.sum())
+    pos = (np.arange(tm, dtype=np.int64)
+           - np.repeat(mstarts, m) + np.repeat(starts, m))
+    is_long = np.repeat(long_m, m)
+    if is_long.all():
+        pos_l = pos
+    else:
+        pos_l = pos[is_long]
+    zl = thp[pos_l].copy()
+    for k in range(1, n):
+        zl *= 31
+        zl += thp[pos_l + k]
+        zl %= P
+    if pos_l is pos:
+        z = zl
+    else:
+        z = thp[pos].copy()  # short docs: [first-token-hash % P]
+        z[is_long] = zl
+    if distinct:
+        # per-row sorted-unique in one pass: sort composite
+        # (row << 31 | value) keys — values are < P = 2^31, so the key
+        # orders by (row, value) — and drop adjacent duplicates; the
+        # per-row order matches a row-at-a-time np.unique exactly
+        rows = np.repeat(np.arange(len(m), dtype=np.int64), m)
+        ks = np.sort((rows << 31) | z)
+        keep = np.ones(tm, dtype=bool)
+        keep[1:] = ks[1:] != ks[:-1]
+        kk = ks[keep]
+        zk = kk & ((1 << 31) - 1)
+        counts = np.bincount(kk >> 31, minlength=len(m))
+        bounds = np.cumsum(counts)[:-1]
+        parts = np.split(zk, bounds)
+    else:
+        parts = np.split(z, np.cumsum(m)[:-1])
+    for i, arr in zip(idxs, parts):
+        out[i] = arr
+    return out
+
+
+_PERM_A = np.array([perm_params(j)[0] for j in range(N_MINHASH)],
+                   dtype=np.int64)
+_PERM_B = np.array([perm_params(j)[1] for j in range(N_MINHASH)],
+                   dtype=np.int64)
+
+_SH_UDFS: dict = {}
+
+
+def shingle_hash_udf(n: int = SHINGLE_N, distinct: bool = False):
+    """pandas UDF: text -> array<long> of hashed n-gram shingles
+    (``distinct=True`` applies the sorted-unique reduction Python-side
+    so only the distinct set crosses Arrow). Iterator form: the token
+    memo initializes once per task (guide §4.5)."""
+    key = (n, distinct)
+    if key in _SH_UDFS:
+        return _SH_UDFS[key]
+
+    @F.pandas_udf("array<bigint>")
+    def sh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict = {}
+        for col in it:
+            yield pd.Series(_sh_batch(col.tolist(), n, memo, distinct))
+
+    _SH_UDFS[key] = sh
+    return sh
+
+
+_SHD_MH_UDFS: dict = {}
+
+
+def shd_mh_udf(n: int = SHINGLE_N):
+    """pandas UDF: text -> struct(shd: distinct shingle hashes,
+    mh: the N_MINHASH minhash values). One text pass feeds both the
+    LSH banding branch and the exact-jaccard rerank branch. minhash
+    over the distinct set equals minhash over the multiset (array_min
+    is multiset-invariant), matching ``with_minhash``'s values. The
+    per-permutation min runs as one segmented numpy reduce over the
+    batch's concatenated shingles — no per-row Python loop."""
+    if n in _SHD_MH_UDFS:
+        return _SHD_MH_UDFS[n]
+
+    @F.pandas_udf("struct<shd: array<bigint>, mh: array<bigint>>")
+    def shd_mh(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for col in it:
+            shds = _sh_batch(col.tolist(), n, memo, True)
+            present = [s for s in shds if s is not None]
+            if present:
+                flat = np.concatenate(present)
+                lens = np.fromiter((len(s) for s in present),
+                                   dtype=np.int64, count=len(present))
+                starts = np.zeros(len(present), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                mh_rows = np.empty((len(present), N_MINHASH),
+                                   dtype=np.int64)
+                for j in range(N_MINHASH):
+                    pj = (flat * _PERM_A[j] + _PERM_B[j]) % P
+                    mh_rows[:, j] = np.minimum.reduceat(pj, starts)
+            mhs: list = []
+            i = 0
+            for s in shds:
+                if s is None:
+                    mhs.append(None)
+                else:
+                    mhs.append(mh_rows[i])
+                    i += 1
+            yield pd.DataFrame({"shd": shds, "mh": mhs})
+
+    _SHD_MH_UDFS[n] = shd_mh
+    return shd_mh
+
+
 def with_shingle_hashes(docs: DataFrame, text_col: str = "text",
                         n: int = SHINGLE_N,
                         out: str = "sh") -> DataFrame:
     """Adds ``out``: array<long> of hashed token n-gram shingles.
-    Short docs (< n tokens) get [first-token-hash]."""
-    df = docs.withColumn("_toks", tokens(F.col(text_col)))
-    df = df.withColumn("_th", F.transform("_toks", _md5_int))
-    m = F.greatest(F.size("_th") - (n - 1), F.lit(1))
-    z = F.transform(F.slice("_th", 1, m), lambda h: h % P)
-    for k in range(1, n):
-        z = F.zip_with(z, F.slice("_th", k + 1, m),
-                       lambda acc, h: (acc * 31 + h % P) % P)
-    df = df.withColumn(
-        out,
-        F.when(F.size("_th") >= n, z)
-        .otherwise(F.array(F.element_at("_th", 1) % P)))
-    return df.drop("_toks")
+    Short docs (< n tokens) get [first-token-hash]. r6: computed by the
+    vectorized Arrow UDF above (identical values, ~50x less CPU than
+    the interpreted per-token expression form)."""
+    return docs.withColumn(out, shingle_hash_udf(n)(F.col(text_col)))
 
 
 def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Adds mh0..mh{k-1} columns (the minhash signature)."""
-    df = with_shingle_hashes(docs, text_col)
+    """Adds mh0..mh{k-1} columns (the minhash signature). r6: one fused
+    Arrow pass (shd_mh_udf); the ``sh`` column is no longer attached —
+    no caller consumed it (callers needing shingles use
+    with_shingle_hashes)."""
+    sm = shd_mh_udf()(F.col(text_col))
+    df = docs.withColumn("_sm", sm)
     for j in range(N_MINHASH):
-        a, b = perm_params(j)
-        df = df.withColumn(
-            f"mh{j}", F.array_min(F.transform("sh", _perm(a, b))))
-    return df.drop("_th")
+        df = df.withColumn(f"mh{j}", F.col("_sm.mh")[j])
+    return df.drop("_sm")
 
 
 def with_minhash_cols(sig: DataFrame,
@@ -137,13 +359,22 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     as ``result.lsh_persisted_base`` — long-lived sessions that call
     this repeatedly should ``result.lsh_persisted_base.unpersist()``
     after consuming the result (or pass persist=False to trade the
-    second tokenize pass for zero cache footprint)."""
-    base = (with_shingle_hashes(docs, text_col)
-            .select("doc_id", F.array_distinct("sh").alias("shd")))
+    second tokenize pass for zero cache footprint).
+
+    r6: the base computes shd AND the minhash values in ONE fused Arrow
+    pass (shd_mh_udf) and persists both, so neither branch re-pays the
+    per-shingle permutation work (the old plan recomputed 8 interpreted
+    array_min(transform(...)) chains over the cached shd on each side
+    of the self-join)."""
+    sm = shd_mh_udf()(F.col(text_col))
+    base = (docs.select("doc_id", sm.alias("_sm"))
+            .select("doc_id", F.col("_sm.shd").alias("shd"),
+                    *[F.col("_sm.mh")[j].alias(f"mh{j}")
+                      for j in range(N_MINHASH)]))
     if persist:
         base = base.persist()
     # narrow banding rows only (no arrays through the join shuffle)
-    banded = banded_keys(with_minhash_cols(base), "doc_id", bands=bands)
+    banded = banded_keys(base, "doc_id", bands=bands)
     pairs = (banded.alias("a").join(banded.alias("b"), on=["band", "bucket"])
              .where(F.col("a.doc_id") < F.col("b.doc_id"))
              .select(F.col("a.doc_id").alias("doc_a"),
@@ -201,12 +432,15 @@ def contamination(docs: DataFrame, text_col: str = "text",
     same memory a broadcast-join build side would occupy driver-side)
     and membership runs as a vectorized numpy isin inside an Arrow UDF.
     The candidate side therefore never explodes, never joins, never
-    shuffles: the whole query is scan -> projection."""
-    sh = with_shingle_hashes(docs, text_col, n=n).select(
-        "doc_id", F.col("sh").alias("shn"))
+    shuffles: the whole query is scan -> projection. r6: tokenize +
+    shingle + membership are FUSED into one Arrow UDF (the old plan
+    ran the interpreted per-token md5 expression chain, then shipped
+    the shingle arrays into a second Python node just to isin them)."""
     is_bench = F.col("doc_id") % 100 == 7
-    bench_df = (sh.where(is_bench)
-                .select(F.explode(F.array_distinct("shn")).alias("h"))
+    bench_df = (docs.where(is_bench)
+                .select(F.explode(
+                    shingle_hash_udf(n, distinct=True)(F.col(text_col))
+                ).alias("h"))
                 .distinct())
     # fail fast instead of OOMing the driver when the "benchmark" side
     # is mis-shaped (it must stay broadcast-sized by construction);
@@ -227,26 +461,30 @@ def contamination(docs: DataFrame, text_col: str = "text",
     # derives from the Python boundary, so a consumer's filter (e.g.
     # contam_frac <= 0.2 in training_corpus) CANNOT be substituted
     # below the projection — Catalyst would otherwise re-inline the
-    # whole interpreted 8-step shingle fold into the Filter and
-    # evaluate it per row a second time (measured: 0.11 s -> 8.5 s at
-    # sf0.1 for one filtered consumer)
+    # whole shingle pipeline into the Filter and evaluate it per row a
+    # second time (measured: 0.11 s -> 8.5 s at sf0.1 for one filtered
+    # consumer)
     @F.pandas_udf("struct<contam_hits: long, n_shingles: long>")
-    def hits_n(col: pd.Series) -> pd.DataFrame:
-        if not len(col):
-            return pd.DataFrame({"contam_hits": [], "n_shingles": []},
-                                dtype="int64")
-        lens = col.map(len).to_numpy(dtype=np.int64)
-        # with_shingle_hashes guarantees >= 1 shingle per row, so the
-        # reduceat segments are never empty
-        flat = np.concatenate(
-            [np.asarray(a, dtype=np.int64) for a in col])
-        mask = np.isin(flat, bench).astype(np.int64)
-        starts = np.zeros(len(col), dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
-        return pd.DataFrame({
-            "contam_hits": np.add.reduceat(mask, starts),
-            "n_shingles": lens,
-        })
+    def hits_n(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        memo: dict = {}
+        for col in it:
+            if not len(col):
+                yield pd.DataFrame(
+                    {"contam_hits": [], "n_shingles": []}, dtype="int64")
+                continue
+            shn = _sh_batch(col.tolist(), n, memo, False)
+            lens = np.fromiter((len(a) for a in shn), dtype=np.int64,
+                               count=len(shn))
+            # _sh_np guarantees >= 1 shingle per row, so the reduceat
+            # segments are never empty
+            flat = np.concatenate(shn)
+            mask = np.isin(flat, bench).astype(np.int64)
+            starts = np.zeros(len(shn), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            yield pd.DataFrame({
+                "contam_hits": np.add.reduceat(mask, starts),
+                "n_shingles": lens,
+            })
 
     # the UDF is semantically deterministic, but the marker stops
     # Catalyst's filter pushdown from CLONING it below a consumer's
@@ -254,8 +492,8 @@ def contamination(docs: DataFrame, text_col: str = "text",
     # full interpreted shingle fold — the whole pipeline ran twice)
     hits_n = hits_n.asNondeterministic()
 
-    return (sh.where(~is_bench)
-            .select("doc_id", hits_n(F.col("shn")).alias("_hn"))
+    return (docs.where(~is_bench)
+            .select("doc_id", hits_n(F.col(text_col)).alias("_hn"))
             .select("doc_id",
                     F.col("_hn.n_shingles").alias("n_shingles"),
                     F.col("_hn.contam_hits").alias("contam_hits"),
@@ -264,8 +502,45 @@ def contamination(docs: DataFrame, text_col: str = "text",
                     .alias("contam_frac")))
 
 
+DRIVER_CC_MAX_EDGES = 500_000  # ~8 MB driver-side; see connected_components
+
+
+def _driver_cc(e: DataFrame) -> DataFrame:
+    """Union-find on the driver for a SMALL edge set (bounded by
+    DRIVER_CC_MAX_EDGES before collect). Produces the identical
+    (doc_id, cluster_id = component-min) labels as the distributed
+    alternating-star loop — locked by
+    tests/test_analytics.py::test_driver_cc_matches_distributed."""
+    pdf = e.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            # union by MIN id: the root IS the component minimum
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = sorted(set(map(int, pdf["u"])) | set(map(int, pdf["v"])))
+    out = pd.DataFrame({"doc_id": nodes,
+                        "cluster_id": [find(n) for n in nodes]})
+    spark = e.sparkSession
+    return spark.createDataFrame(out, "doc_id long, cluster_id long")
+
+
 def connected_components(edges: DataFrame,
-                         max_iters: int = 25) -> tuple[DataFrame, int]:
+                         max_iters: int = 25,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES
+                         ) -> tuple[DataFrame, int]:
     """Connected components by ALTERNATING large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
     SoCC 2014): converges in O(log n) rounds on ANY topology — a
@@ -293,7 +568,20 @@ def connected_components(edges: DataFrame,
     also survives executor loss), ``localCheckpoint`` otherwise.
     Checkpointed RDD storage is freed by the ContextCleaner when the
     frame is dropped; the persisted LABELS frame is the caller's to
-    unpersist."""
+    unpersist.
+
+    r6 small-graph fast path: an edge set at or under
+    ``driver_max_edges`` (default 500k rows ~ 8 MB — a driver-memory
+    bound, same budget class as a broadcast build side) is collected
+    once and solved with driver-side union-find: each distributed round
+    costs a fixed 3-4 scheduler round-trips (~0.5 s each on small
+    shuffles), which dominated wall time whenever the near-dup graph is
+    tiny relative to the corpus — the common case (measured: 5.8 s ->
+    0.2 s for a 2.5k-edge graph at sf1.0). At 10^12-doc scale the
+    near-dup graph exceeds the cap and the alternating-star loop runs
+    unchanged; ``driver_max_edges=0`` forces it (the distributed-
+    behavior tests pin it that way). Returns rounds=0 from the fast
+    path (no distributed rounds ran; max_iters does not apply)."""
     sc = edges.sparkSession.sparkContext
 
     def ckpt(df: DataFrame) -> DataFrame:
@@ -340,6 +628,12 @@ def connected_components(edges: DataFrame,
              .select(F.greatest("s", "t").alias("u"),
                      F.least("s", "t").alias("v"))
              .distinct())
+    if driver_max_edges > 0:
+        n = e.count()  # cheap: e is checkpointed
+        if 0 < n <= driver_max_edges:
+            labels = _driver_cc(e).persist()
+            labels.count()
+            return labels, 0
     n_edges, sig, is_stars = star_sig(e)
     if n_edges == 0:
         empty = edges.sparkSession.createDataFrame(
@@ -500,9 +794,11 @@ def lsh_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Size: bands x |corpus| narrow rows + one shingle array per row.
     At 10^12 docs you'd bucket the storage by `bucket` so the
     incremental join prunes to matching buckets."""
-    sig = with_minhash_cols(
-        with_shingle_hashes(docs, text_col)
-        .select("doc_id", F.array_distinct("sh").alias("shd")))
+    sm = shd_mh_udf()(F.col(text_col))
+    sig = (docs.select("doc_id", sm.alias("_sm"))
+           .select("doc_id", F.col("_sm.shd").alias("shd"),
+                   *[F.col("_sm.mh")[j].alias(f"mh{j}")
+                     for j in range(N_MINHASH)]))
     return banded_keys(sig, "doc_id", "shd")
 
 
@@ -518,10 +814,13 @@ def incremental_near_duplicates(index: DataFrame, new_docs: DataFrame,
     shingle arrays re-attach to the few surviving distinct pairs
     afterwards (same discipline as lsh_candidate_pairs), never riding
     the join once per band; historical TEXT is never touched at all."""
-    new_base = (with_shingle_hashes(new_docs, text_col)
-                .select("doc_id", F.array_distinct("sh").alias("shd"))
+    sm = shd_mh_udf()(F.col(text_col))
+    new_base = (new_docs.select("doc_id", sm.alias("_sm"))
+                .select("doc_id", F.col("_sm.shd").alias("shd"),
+                        *[F.col("_sm.mh")[j].alias(f"mh{j}")
+                          for j in range(N_MINHASH)])
                 .persist())
-    new_banded = banded_keys(with_minhash_cols(new_base), "doc_id")
+    new_banded = banded_keys(new_base, "doc_id")
     pairs = (new_banded.alias("n")
              .join(index.select("doc_id", "band", "bucket").alias("i"),
                    on=["band", "bucket"])

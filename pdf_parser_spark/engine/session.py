@@ -13,10 +13,16 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Keep Arrow batches small: html is a binary column with a deliberate
-# heavy tail (FIXTURES.md skew fixture); 10000-row batches of 1 MB docs
-# would be ~10 GB per batch.
-ARROW_BATCH_ROWS = 64
+# Arrow batch sizing (r6, measured): every mapInPandas/pandas-UDF batch
+# pays a fixed JVM<->Python cost (Arrow IPC framing + pandas frame
+# construction, ~1-2 ms); at 64 rows that tax dominated small-row
+# kernels (media_features 2.9 s -> 1.0 s, ann_ivf 1.9 s -> 0.9 s at
+# sf1.0 just from raising it). 1024 rows keeps the worst batch bounded:
+# the heaviest rows are skew-fixture pages (~30 KB html) -> ~30 MB per
+# batch per worker. On Spark 4 the byte-denominated knob
+# (spark.sql.execution.arrow.maxBytesPerBatch) is the production-grade
+# guard for corpora whose single documents reach MBs.
+ARROW_BATCH_ROWS = 1024
 
 
 def default_parallelism() -> int:

@@ -654,7 +654,9 @@ def test_connected_components_chain_olog_rounds(spark):
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(999)],
                                   "s long, t long")
-    labels, rounds = dedup.connected_components(edges)
+    # driver_max_edges=0: this test pins the DISTRIBUTED algorithm
+    labels, rounds = dedup.connected_components(edges,
+                                                driver_max_edges=0)
     try:
         got = {r.doc_id: r.cluster_id for r in labels.collect()}
     finally:
@@ -675,7 +677,8 @@ def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
     try:
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(30)], "s long, t long")
-        labels, rounds = dedup.connected_components(edges)
+        labels, rounds = dedup.connected_components(edges,
+                                                    driver_max_edges=0)
         try:
             got = {r.doc_id: r.cluster_id for r in labels.collect()}
         finally:
@@ -867,7 +870,8 @@ def test_dedup_clusters_raises_on_nonconvergence(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(63)],
                                   "s long, t long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(edges, max_iters=1)
+        dedup.connected_components(edges, max_iters=1,
+                                   driver_max_edges=0)
 
 
 def test_dedup_clusters_near_clique_single_round(spark):
@@ -1465,3 +1469,100 @@ def test_collapse_canonical_multi_capture_url_no_multiplication(spark):
     # in; noindex doc 2 is out; n_variants counts rows once each
     assert fam.n_variants == 2
     assert fam.doc_id == 1  # t1 tie -> lowest doc_id; doc 2 excluded
+
+
+# -- r6 optimization parity locks --------------------------------------------
+
+
+def test_shingle_udf_matches_expression_form(spark):
+    """The vectorized Arrow shingle/minhash kernels (r6) must produce
+    byte-identical values to the original interpreted expression
+    pipeline (conv(substring(md5(token),1,15),16,10) + rolling mod-P
+    combine + array_distinct + universal-hash minhash) on whitespace
+    edge cases, unicode, and CJK text."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.analytics import dedup
+    from pdf_parser_spark.analytics.dedup import (
+        N_MINHASH, P, _md5_int, perm_params, tokens)
+
+    rows = [(0, "alpha beta gamma alpha beta gamma delta"),
+            (1, "a"), (2, ""), (3, "  spaced  out  "),
+            (4, "tab\tsep\nnl\x0bvt\fff\rcr"),
+            (5, "ünï codé tökens ünï codé"),
+            (6, "中文 文本 分词 测试 中文 文本"),
+            (7, "x \x1c y"), (8, "trail\t"), (9, "\tlead")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for n in (3, 8):
+        # expression-form reference (the pre-r6 implementation, inline)
+        df = docs.withColumn("_toks", tokens(F.col("text")))
+        df = df.withColumn("_th", F.transform("_toks", _md5_int))
+        m = F.greatest(F.size("_th") - (n - 1), F.lit(1))
+        z = F.transform(F.slice("_th", 1, m), lambda h: h % P)
+        for k in range(1, n):
+            z = F.zip_with(z, F.slice("_th", k + 1, m),
+                           lambda acc, h: (acc * 31 + h % P) % P)
+        exp = df.withColumn(
+            "sh", F.when(F.size("_th") >= n, z)
+            .otherwise(F.array(F.element_at("_th", 1) % P)))
+        want = {r.doc_id: r.sh for r in exp.select("doc_id", "sh").collect()}
+        got = {r.doc_id: r.sh
+               for r in dedup.with_shingle_hashes(docs, n=n)
+               .select("doc_id", "sh").collect()}
+        assert got == want, f"n={n}"
+        # distinct variant == sorted unique of the expression form
+        gotd = {r.doc_id: r.shd for r in docs.select(
+            "doc_id", dedup.shingle_hash_udf(n, distinct=True)(
+                F.col("text")).alias("shd")).collect()}
+        assert gotd == {k: sorted(set(v)) for k, v in want.items()}
+
+    # minhash parity: fused UDF vs expression-form permutation mins
+    from pdf_parser_spark.analytics.dedup import _perm
+
+    sig = dedup.with_minhash(docs)
+    got_mh = {r.doc_id: [r[f"mh{j}"] for j in range(N_MINHASH)]
+              for r in sig.collect()}
+    # recompute expression-form minhash over n=3 shingles
+    df = docs.withColumn("_toks", tokens(F.col("text")))
+    df = df.withColumn("_th", F.transform("_toks", _md5_int))
+    m = F.greatest(F.size("_th") - 2, F.lit(1))
+    z = F.transform(F.slice("_th", 1, m), lambda h: h % P)
+    for k in range(1, 3):
+        z = F.zip_with(z, F.slice("_th", k + 1, m),
+                       lambda acc, h: (acc * 31 + h % P) % P)
+    df = df.withColumn("sh", F.when(F.size("_th") >= 3, z)
+                       .otherwise(F.array(F.element_at("_th", 1) % P)))
+    for j in range(N_MINHASH):
+        a, b = perm_params(j)
+        df = df.withColumn(
+            f"mh{j}", F.array_min(F.transform("sh", _perm(a, b))))
+    want_mh = {r.doc_id: [r[f"mh{j}"] for j in range(N_MINHASH)]
+               for r in df.collect()}
+    assert got_mh == want_mh
+
+
+def test_driver_cc_matches_distributed(spark):
+    """The r6 small-graph driver union-find must label exactly like the
+    distributed alternating-star loop (component-minimum ids) on a
+    random multi-component graph with dup/reversed/self-loop edges."""
+    import random
+
+    from pdf_parser_spark.analytics import dedup
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges += [(5, 5), (7, 3), (3, 7)]
+    df = spark.createDataFrame(edges, "s long, t long")
+    fast, r_fast = dedup.connected_components(df)
+    try:
+        got_fast = {r.doc_id: r.cluster_id for r in fast.collect()}
+    finally:
+        fast.unpersist()
+    assert r_fast == 0  # driver path (no distributed rounds)
+    slow, _ = dedup.connected_components(df, driver_max_edges=0)
+    try:
+        got_slow = {r.doc_id: r.cluster_id for r in slow.collect()}
+    finally:
+        slow.unpersist()
+    assert got_fast == got_slow
