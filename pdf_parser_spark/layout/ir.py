@@ -62,12 +62,20 @@ class BBox:
 def union_bbox(boxes: list[BBox]) -> BBox:
     if not boxes:
         return BBox(0.0, 0.0, 0.0, 0.0)
-    return BBox(
-        min(b.x0 for b in boxes),
-        min(b.y0 for b in boxes),
-        max(b.x1 for b in boxes),
-        max(b.y1 for b in boxes),
-    )
+    # single pass instead of four generator sweeps (hot in layout; same
+    # min/max floats exactly)
+    b = boxes[0]
+    x0, y0, x1, y1 = b.x0, b.y0, b.x1, b.y1
+    for b in boxes[1:]:
+        if b.x0 < x0:
+            x0 = b.x0
+        if b.y0 < y0:
+            y0 = b.y0
+        if b.x1 > x1:
+            x1 = b.x1
+        if b.y1 > y1:
+            y1 = b.y1
+    return BBox(x0, y0, x1, y1)
 
 
 @dataclass(slots=True)

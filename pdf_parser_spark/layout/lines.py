@@ -51,19 +51,34 @@ def spans_to_lines(spans: list[SpanIR]) -> list[LineIR]:
     x0 = np.fromiter((s.bbox.x0 for s in spans), dtype=np.float64)
     order = np.lexsort((x0, y0))
 
+    # r6: the running group bbox lives in four locals and the overlap
+    # test is inlined — same float expressions as _vertically_overlaps
+    # and union_bbox (bit-identical decisions), without a BBox + list
+    # allocation per span
+    frac = LAYOUT.v_overlap_frac
+    cdist = LAYOUT.v_center_dist
     groups: list[list[SpanIR]] = []
-    cur: list[SpanIR] = [spans[order[0]]]
-    b0 = spans[order[0]].bbox
-    cur_bbox = BBox(b0.x0, b0.y0, b0.x1, b0.y1)
+    first = spans[order[0]]
+    cur: list[SpanIR] = [first]
+    fb = first.bbox
+    cy0, cy1 = fb.y0, fb.y1
     for idx in order[1:]:
         s = spans[idx]
-        if _vertically_overlaps(cur_bbox, s.bbox):
+        sb = s.bbox
+        overlap = min(cy1, sb.y1) - max(cy0, sb.y0)
+        min_h = min(cy1 - cy0, sb.y1 - sb.y0)
+        if min_h > 0 and (
+                overlap > min_h * frac
+                or abs((cy0 + cy1) / 2 - (sb.y0 + sb.y1) / 2) < cdist):
             cur.append(s)
-            cur_bbox = union_bbox([cur_bbox, s.bbox])
+            if sb.y0 < cy0:
+                cy0 = sb.y0
+            if sb.y1 > cy1:
+                cy1 = sb.y1
         else:
             groups.append(cur)
             cur = [s]
-            cur_bbox = BBox(s.bbox.x0, s.bbox.y0, s.bbox.x1, s.bbox.y1)
+            cy0, cy1 = sb.y0, sb.y1
     groups.append(cur)
 
     lines: list[LineIR] = []

@@ -64,6 +64,13 @@ FONTS: dict[str, tuple[np.ndarray, float, float]] = {
 
 _DEFAULT = FONTS["Helvetica"]
 
+# plain-list twin of the width tables: for the short strings of one
+# show op, sum(map(list.__getitem__, bytes)) measured 3x the numpy
+# fancy-index path (r6); char_advances keeps the vectorized form
+_FONT_WIDTH_LISTS: dict[str, list[float]] = {
+    name: arr.tolist() for name, (arr, _, _) in FONTS.items()}
+_DEFAULT_WIDTH_LIST = _FONT_WIDTH_LISTS["Helvetica"]
+
 
 def metrics(base_font: str) -> tuple[np.ndarray, float, float]:
     return FONTS.get(base_font, _DEFAULT)
@@ -75,14 +82,16 @@ def text_width(text: str, base_font: str, size: float,
     width + Tc per glyph + Tw per byte-32 space)."""
     if not text:
         return 0.0
-    widths = metrics(base_font)[0]
+    widths = _FONT_WIDTH_LISTS.get(base_font, _DEFAULT_WIDTH_LIST)
     b = text.encode("latin-1", "replace")
-    a = np.frombuffer(b, dtype=np.uint8)
-    w = widths[a].sum() * size / 1000.0
+    # summation-order-independent: AFM widths are integers, so the sum
+    # is exact in float64 regardless of order (bit-identical to the
+    # previous numpy pairwise sum — geometry goldens unaffected)
+    w = sum(map(widths.__getitem__, b)) * size / 1000.0
     w += char_spacing * len(b)
     if word_spacing:
-        w += word_spacing * int((a == 32).sum())
-    return float(w)
+        w += word_spacing * b.count(32)
+    return w
 
 
 def char_advances(text: str, base_font: str, size: float,

@@ -102,9 +102,21 @@ class _Lexer:
     _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 
     def _skip_ws(self) -> None:
-        m = self._WS_RE.match(self.d, self.i)
-        if m:
-            self.i = m.end()
+        # manual byte loop (r6): typical runs are 0-2 ws bytes, where a
+        # regex call costs more than the skip itself; '%' comments drop
+        # to the regex (which consumes any ws+comment run greedily)
+        d, i, n = self.d, self.i, self.n
+        while i < n:
+            c = d[i]
+            if c in _WS:
+                i += 1
+            elif c == 0x25:  # % comment
+                m = self._WS_RE.match(d, i)
+                i = m.end()
+                break
+            else:
+                break
+        self.i = i
 
     def parse(self):
         """Parse one object starting at self.i."""
@@ -115,10 +127,13 @@ class _Lexer:
         c = d[i]
         if c == 0x2F:  # /Name
             return self._name()
+        # numbers/refs next: the second-most-common token after names
+        if 0x30 <= c <= 0x39 or c == 0x2B or c == 0x2D or c == 0x2E:
+            return self._number_or_ref()
         if c == 0x28:  # (string)
             return self._string()
         if c == 0x3C:  # << dict or <hex>
-            if d[i : i + 2] == b"<<":
+            if d[i + 1 : i + 2] == b"<":
                 return self._dict()
             return self._hex_string()
         if c == 0x5B:  # [array]
@@ -135,12 +150,19 @@ class _Lexer:
         return self._number_or_ref()
 
     _NAME_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+    _NAME_CACHE: dict[bytes, "Name"] = {}
 
     def _name(self) -> str:
         self.i += 1
         m = self._NAME_RE.match(self.d, self.i)
         run = m.group(0)
         self.i = m.end()
+        # names repeat massively across documents (/Type /Page /Font
+        # /Contents ...) — a worker-lifetime memo of the decoded Name
+        # skips the decode+alloc (values are immutable interned tokens)
+        got = _Lexer._NAME_CACHE.get(run)
+        if got is not None:
+            return got
         if b"#" in run:  # rare #xx escapes
             out = bytearray()
             j = 0
@@ -151,8 +173,14 @@ class _Lexer:
                 else:
                     out.append(run[j])
                     j += 1
-            return Name(out.decode("latin-1"))
-        return Name(run.decode("latin-1"))
+            name = Name(out.decode("latin-1"))
+        else:
+            name = Name(run.decode("latin-1"))
+        cache = _Lexer._NAME_CACHE
+        if len(cache) > 4096:
+            cache.clear()
+        cache[run] = name
+        return name
 
     _SIMPLE_STR_RE = re.compile(rb"\(([^()\\]*)\)")
 
@@ -929,76 +957,77 @@ class FontDecode:
 
 # -- content-stream interpretation -------------------------------------------
 
-_CS_TOKEN = re.compile(
-    rb"""\((?:[^()\\]|\\.)*\)          # literal string (1-level nesting below)
-      |  <[0-9A-Fa-f\s]*>              # hex string
-      |  /[^\s()<>\[\]{}/%]*           # name
-      |  [+-]?(?:\d+\.?\d*|\.\d+)      # number
-      |  \[ | \]
-      |  [A-Za-z'"*]+                  # operator
-    """,
+_CS_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+
+# r6: fused ws-skip + token pattern — ONE regex call per token (the old
+# loop paid a ws match plus a token match each); group index = kind.
+_CS_SCAN = re.compile(
+    rb"""(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*
+      (?:\(([^()\\]*)\)               # 1: literal string (simple)
+       |  /([^\s()<>\[\]{}/%]*)       # 2: name
+       |  <([0-9A-Fa-f\s]*)>          # 3: hex string
+       |  ([+-]?(?:\d+\.?\d*|\.\d+))  # 4: number
+       |  ([\[\]])                    # 5: array delimiter
+       |  ([A-Za-z'"*]+)              # 6: operator
+      )""",
     re.VERBOSE,
 )
-
-
-_CS_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
-_CS_SIMPLE_STR = re.compile(rb"\(([^()\\]*)\)")
 
 
 def _cs_tokens(data: bytes):
     """Tokenize a content stream. Nested-paren strings are rare in our
     subset; fall back to the object lexer for those."""
     i, n = 0, len(data)
+    scan = _CS_SCAN.match
     while i < n:
-        m = _CS_WS_RE.match(data, i)
-        if m:
+        m = scan(data, i)
+        if m is not None:
+            li = m.lastindex
             i = m.end()
-            if i >= n:
-                break
-        c = data[i]
-        if c == 0x28:
-            m = _CS_SIMPLE_STR.match(data, i)
-            if m:  # fast path: no escapes/nesting
+            if li == 4:
+                yield ("num", float(m.group(4)))
+            elif li == 1:
                 yield ("str", m.group(1).decode("latin-1"))
-                i = m.end()
-                continue
+            elif li == 2:
+                yield ("name", m.group(2).decode("latin-1"))
+            elif li == 6:
+                tok = m.group(6)
+                if tok == b"BI":
+                    # inline image: skip dict to ID, then binary payload
+                    # to a whitespace-delimited EI (PDF spec 8.9.7) — the
+                    # payload must not reach the tokenizer
+                    j = data.find(b"ID", i)
+                    if j < 0:
+                        return
+                    m2 = re.search(
+                        rb"[\x00\t\n\x0c\r ]EI"
+                        rb"(?=[\x00\t\n\x0c\r /\[\]<>(%]|$)",
+                        data[j + 2 :])
+                    if not m2:
+                        return
+                    i = j + 2 + m2.end()
+                else:
+                    yield ("op", tok.decode("latin-1"))
+            elif li == 5:
+                yield ("arr", m.group(5))
+            else:  # 3: hex string
+                hx = re.sub(rb"\s", b"", m.group(3))
+                if len(hx) % 2:
+                    hx += b"0"
+                yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
+            continue
+        # no token match: trailing ws, a complex (escaped/nested)
+        # string, or a junk byte
+        mw = _CS_WS_RE.match(data, i)
+        if mw:
+            i = mw.end()
+            continue
+        if data[i] == 0x28:
             lex = _Lexer(data, i)
-            s = lex._string()
-            yield ("str", s)
+            yield ("str", lex._string())
             i = lex.i
             continue
-        m = _CS_TOKEN.match(data, i)
-        if not m:
-            i += 1  # skip junk byte (degrade, don't die: reference E3)
-            continue
-        tok = m.group(0)
-        i = m.end()
-        if tok[:1] == b"/":
-            yield ("name", tok[1:].decode("latin-1"))
-        elif tok[:1] == b"<":
-            hx = re.sub(rb"\s", b"", tok[1:-1])
-            if len(hx) % 2:
-                hx += b"0"
-            yield ("str", bytes.fromhex(hx.decode()).decode("latin-1"))
-        elif tok in (b"[", b"]"):
-            yield ("arr", tok)
-        elif tok[:1] in b"+-.0123456789":
-            yield ("num", float(tok))
-        elif tok == b"BI":
-            # inline image: skip dict to ID, then binary payload to a
-            # whitespace-delimited EI (PDF spec 8.9.7) — the payload is
-            # arbitrary bytes that must not reach the tokenizer
-            j = data.find(b"ID", i)
-            if j < 0:
-                return
-            m2 = re.search(
-                rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r /\[\]<>(%]|$)",
-                data[j + 2 :])
-            if not m2:
-                return
-            i = j + 2 + m2.end()
-        else:
-            yield ("op", tok.decode("latin-1"))
+        i += 1  # skip junk byte (degrade, don't die: reference E3)
 
 
 def _parse_cid_widths(w: list) -> dict[int, float]:
