@@ -504,12 +504,21 @@ def _q_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = web.latest_captures(pages).select("doc_id")
     kept = d.select("doc_id", "text").join(latest, "doc_id")
     sd = dedup.span_dedup(kept)
+    # r6: deduped feeds BOTH the classifier branch and the join-back —
+    # Catalyst does not CSE across the self-reference, so without the
+    # persist the whole latest-capture join + span-dedup chain ran
+    # TWICE (observed: two span-hash kernels, 11 exchanges). Narrow
+    # (doc_id, text_dedup) rows only; same lifetime convention as
+    # dedup.lsh_candidate_pairs (result.lsh_persisted_base).
     deduped = (sd.where(F.col("n_kept") > 0)
-               .select("doc_id", F.col("text_dedup").alias("text")))
+               .select("doc_id", F.col("text_dedup").alias("text"))
+               .persist())
     good_ids = (classifier.quality_classifier(deduped)
                 .where("label").select("doc_id"))
     good = deduped.join(good_ids, "doc_id")
-    return web.host_cap(good, k=2)
+    result = web.host_cap(good, k=2)
+    result.lsh_persisted_base = deduped
+    return result
 
 
 def _q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -243,6 +243,51 @@ def shingle_hash_udf(n: int = SHINGLE_N, distinct: bool = False):
     return sh
 
 
+_SEG_UDFS: dict = {}
+
+
+def seg_hash_udf(k: int):
+    """pandas UDF: text -> array<long> of hashed ``k``-token span
+    digests (md5-60bit of the space-joined token window — identical to
+    ``_md5_int(array_join(slice(tk, i*k+1, k), ' '))``). r6: the
+    expression form built every span STRING inside an interpreted
+    transform(); this computes the hashes in one Python pass with a
+    per-task memo (boilerplate spans repeat corpus-wide)."""
+    if k in _SEG_UDFS:
+        return _SEG_UDFS[k]
+
+    @F.pandas_udf("array<bigint>")
+    def seg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict = {}
+        get = memo.get
+        for col in it:
+            out: list = []
+            for t in col:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = _java_tokens(t)
+                nseg = (len(toks) + k - 1) // k
+                if nseg == 0:
+                    nseg = 1  # unreachable (>=1 token) — guard anyway
+                arr = np.empty(nseg, dtype=np.int64)
+                for i in range(nseg):
+                    s = " ".join(toks[i * k:i * k + k])
+                    v = get(s)
+                    if v is None:
+                        if len(memo) > _MEMO_CAP:
+                            memo.clear()
+                        v = memo[s] = (int.from_bytes(
+                            hashlib.md5(s.encode("utf-8")).digest()[:8],
+                            "big") >> 4)
+                    arr[i] = v
+                out.append(arr)
+            yield pd.Series(out)
+
+    _SEG_UDFS[k] = seg
+    return seg
+
+
 _SHD_MH_UDFS: dict = {}
 
 
@@ -874,35 +919,39 @@ def span_dedup(docs: DataFrame, text_col: str = "text",
     documents)."""
     k = span_tokens
     tk = tokens(F.col(text_col))
-    nseg_of = lambda n: F.floor((n + k - 1) / k).cast("int")  # noqa: E731
 
-    def spans_of(tk_col, n_col):
-        return F.transform(
-            F.sequence(F.lit(0), nseg_of(n_col) - 1),
-            lambda i: F.struct(
-                i.cast("long").alias("seg_idx"),
-                F.array_join(F.slice(tk_col, i * k + 1, k), " ")
-                .alias("seg")))
-
-    df = docs.withColumn("_tk", tk).withColumn("_n", F.size("_tk"))
-    seg_rows = (df.select("doc_id",
-                          F.explode(spans_of(F.col("_tk"),
-                                             F.col("_n"))).alias("s"))
-                .select("doc_id", "s.seg_idx",
-                        _md5_int(F.col("s.seg")).alias("h")))
+    # r6: span hashes from the vectorized Arrow kernel (seg strings are
+    # never materialized JVM-side); posexplode supplies seg_idx
+    df = docs.withColumn("_tk", tk)
+    seg_rows = (docs.select(
+        "doc_id",
+        F.posexplode(seg_hash_udf(k)(F.col(text_col)))
+        .alias("_p", "h"))
+        .select("doc_id", F.col("_p").cast("long").alias("seg_idx"), "h"))
     winners = (seg_rows.groupBy("h")
                .agg(F.min(F.struct("doc_id", "seg_idx")).alias("w")))
-    marked = (seg_rows.join(winners, "h")
-              .withColumn("kept",
-                          (F.col("doc_id") == F.col("w.doc_id"))
-                          & (F.col("seg_idx") == F.col("w.seg_idx"))))
-    keep = (marked.groupBy("doc_id")
-            .agg(F.count("*").alias("n_spans"),
-                 F.sum(F.col("kept").cast("long")).alias("n_kept"),
-                 F.array_sort(F.collect_list(
-                     F.when(F.col("kept"), F.col("seg_idx"))))
-                 .alias("_keep_idx")))
-    out = df.join(keep, "doc_id")
+    # r6: a span is kept iff it IS its hash's winner, so the per-doc
+    # keep-list comes straight from grouping the winner rows by their
+    # winning doc — the old seg_rows-to-winners equi-join (one full
+    # extra shuffle of every span row plus a second corpus-sized
+    # aggregation) carried no information the winner rows lack.
+    # n_spans is derived from the token count (== the per-doc seg-row
+    # count by construction), and docs none of whose spans win come
+    # back via the left join with n_kept=0 — identical rows to the
+    # join+mark form (oracle hash-green).
+    per_doc = (winners.groupBy(F.col("w.doc_id").alias("doc_id"))
+               .agg(F.count("*").alias("n_kept"),
+                    F.array_sort(F.collect_list("w.seg_idx"))
+                    .alias("_keep_idx")))
+    out = (df.where(F.col(text_col).isNotNull())
+           .join(per_doc, "doc_id", "left")
+           .withColumn("n_spans",
+                       F.floor((F.size("_tk") + k - 1) / k).cast("long"))
+           .withColumn("n_kept",
+                       F.coalesce("n_kept", F.lit(0).cast("long")))
+           .withColumn("_keep_idx",
+                       F.coalesce("_keep_idx",
+                                  F.array().cast("array<bigint>"))))
     # rebuild straight FROM the sorted keep-list: each kept seg_idx
     # slices its own token window — O(n_kept · k) per doc, vs the old
     # filter-all-spans-by-array_contains which scanned the keep-list

@@ -4,6 +4,8 @@ all DuckDB-expressible for the oracle."""
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -98,16 +100,71 @@ def lang_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
                       lang_guess_expr(named).alias("lang_guess"))
 
 
+_QC_UDF = None
+
+
+def _quality_counts_udf():
+    """Arrow kernel for the three quality counters (token count,
+    stopword hits, punct chars). r6: the expression form re-ran the
+    interpreted split+filter chain once per REFERENCING expression
+    (higher-order functions get neither codegen nor subexpression
+    elimination — measured 1.55 s at sf1.0 for the one projection);
+    the counts are exact integers, and every float op (mean, score,
+    rounding) stays JVM-side on those integers, so no cross-engine
+    float parity is at stake. Tokenizer/regex parity with the JVM
+    expressions (Java \\s, ASCII \\w) is locked by
+    tests/test_analytics.py::test_quality_counts_udf_matches_exprs."""
+    global _QC_UDF
+    if _QC_UDF is None:
+        import re
+
+        from .dedup import _java_tokens
+
+        # Java regex [^\w\s] semantics: ASCII \w and \s
+        punct_re = re.compile(r"[^\w\s]", re.ASCII)
+        stop = frozenset(LANG_MARKERS["en"])
+
+        @F.pandas_udf("struct<nt: int, sh: int, pc: int>")
+        def qc(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for col in it:
+                nts, shs, pcs = [], [], []
+                for t in col:
+                    if t is None:
+                        nts.append(None)
+                        shs.append(None)
+                        pcs.append(None)
+                        continue
+                    toks = _java_tokens(t)
+                    nts.append(len(toks))
+                    n = 0
+                    for x in toks:
+                        if x in stop:
+                            n += 1
+                    shs.append(n)
+                    pcs.append(len(punct_re.findall(t)))
+                yield pd.DataFrame({"nt": pd.array(nts, dtype="Int32"),
+                                    "sh": pd.array(shs, dtype="Int32"),
+                                    "pc": pd.array(pcs, dtype="Int32")})
+
+        # semantically deterministic; the marker stops Catalyst's
+        # filter pushdown from CLONING the kernel below a consumer's
+        # quality filter (same hazard + fix as dedup.contamination —
+        # observed: corpus_filter's quality gate doubled the node)
+        _QC_UDF = qc.asNondeterministic()
+    return _QC_UDF
+
+
 def quality_exprs(text_col) -> dict[str, "F.Column"]:
     """Quality-feature expressions (pure projections): token/char/
     stopword/punctuation counts, mean token length, composite score in
-    [0,1] — composable into one select (single text pass)."""
-    toks = tokens(text_col)
-    n_tokens = F.size(toks)
+    [0,1] — composable into one select (single text pass via the Arrow
+    counter kernel; identical values to the original expression
+    form)."""
+    qc = _quality_counts_udf()(text_col)
+    n_tokens = qc["nt"]
     n_chars = F.length(text_col)
-    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
-    punct = n_chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    stop_hits = qc["sh"]
+    punct = qc["pc"]
     mean_tok = (n_chars - (n_tokens - 1)) / n_tokens
     score = (
         F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
@@ -284,10 +341,18 @@ def boilerplate_ngrams(docs: DataFrame, text_col: str = "text",
     exploded frame is evaluated twice — frequency branch and join
     branch; at 10^12 docs it is too large to cache and recompute is the
     right trade, the tokenize being map-side-only.)"""
-    sh = with_shingle_hashes(docs, text_col, n=n).select(
-        "doc_id", F.explode(F.array_distinct("sh")).alias("h"))
+    from .dedup import shingle_hash_udf
+
+    sh = docs.select(
+        "doc_id",
+        F.explode(shingle_hash_udf(n, distinct=True)(F.col(text_col)))
+        .alias("h"))
+    # (doc_id, h) rows are distinct per doc by construction (explode of
+    # the per-doc DISTINCT shingle set), so count(*) == count_distinct
+    # (r6: drops the two-phase count-distinct expand — one aggregation
+    # pass instead of two over the 16-byte rows)
     common = (sh.groupBy("h")
-              .agg(F.count_distinct("doc_id").alias("df"))
+              .agg(F.count("*").alias("df"))
               .where(F.col("df") >= min_docs)
               .select("h", F.lit(1).alias("_c")))
     return (sh.join(common, "h", "left")

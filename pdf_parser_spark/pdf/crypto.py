@@ -226,19 +226,83 @@ def _decrypt_block(block: bytes, rks) -> bytes:
     return bytes(_add_rk(s, rks[0]))
 
 
+# -- OpenSSL EVP acceleration (r6) ------------------------------------------
+# The system libcrypto (loaded via ctypes — public OpenSSL EVP API, no
+# new Python deps) runs AES ~1000x the pure-Python kernel. Algorithm
+# 2.B pushes ~10^4 CBC blocks per key derivation, which made the R6
+# derivation ~1.5 s of COLD-START per Python worker (memoized after).
+# Every AES entry point below tries EVP first and falls back to the
+# pure-Python tables (kept intact — sandboxes without libcrypto, and
+# the A/B parity test tests/test_pdf_advanced.py::test_evp_matches_
+# pure_python locks the two paths together).
+
+_EVP = None
+try:  # pragma: no cover - environment-dependent
+    import ctypes
+    import ctypes.util as _cutil
+
+    _lcname = _cutil.find_library("crypto")
+    if _lcname:
+        _lc = ctypes.CDLL(_lcname)
+        _lc.EVP_CIPHER_CTX_new.restype = ctypes.c_void_p
+        _lc.EVP_CIPHER_CTX_free.argtypes = [ctypes.c_void_p]
+        for _n in ("EVP_aes_128_cbc", "EVP_aes_192_cbc",
+                   "EVP_aes_256_cbc", "EVP_aes_128_ecb",
+                   "EVP_aes_192_ecb", "EVP_aes_256_ecb"):
+            getattr(_lc, _n).restype = ctypes.c_void_p
+        _lc.EVP_CipherInit_ex.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        _lc.EVP_CIPHER_CTX_set_padding.argtypes = [ctypes.c_void_p,
+                                                   ctypes.c_int]
+        _lc.EVP_CipherUpdate.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_char_p, ctypes.c_int]
+        _EVP = _lc
+except Exception:
+    _EVP = None
+
+
+def _evp_crypt(key: bytes, data: bytes, iv: bytes | None,
+               encrypt: bool, cbc: bool) -> bytes | None:
+    """One-shot EVP AES with padding off; None -> caller falls back."""
+    lib = _EVP
+    if lib is None or len(data) % 16:
+        return None
+    try:
+        cipher = {(16, True): lib.EVP_aes_128_cbc,
+                  (24, True): lib.EVP_aes_192_cbc,
+                  (32, True): lib.EVP_aes_256_cbc,
+                  (16, False): lib.EVP_aes_128_ecb,
+                  (24, False): lib.EVP_aes_192_ecb,
+                  (32, False): lib.EVP_aes_256_ecb}[(len(key), cbc)]()
+    except KeyError:
+        return None
+    import ctypes
+    ctx = lib.EVP_CIPHER_CTX_new()
+    if not ctx:
+        return None
+    try:
+        if lib.EVP_CipherInit_ex(ctx, cipher, None, key,
+                                 iv if cbc else None,
+                                 1 if encrypt else 0) != 1:
+            return None
+        lib.EVP_CIPHER_CTX_set_padding(ctx, 0)
+        out = ctypes.create_string_buffer(len(data) + 16)
+        outl = ctypes.c_int(0)
+        if lib.EVP_CipherUpdate(ctx, out, ctypes.byref(outl), data,
+                                len(data)) != 1:
+            return None
+        return out.raw[:outl.value]
+    finally:
+        lib.EVP_CIPHER_CTX_free(ctx)
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """PDF AESV2/AESV3 layout: 16-byte IV prefix, PKCS#7 padding."""
     if len(data) < 32 or len(data) % 16:
         return b""  # malformed: degrade, never crash (E3 semantics)
-    rks = _rks(key)
-    iv = data[:16]
-    out = bytearray()
-    prev = iv
-    for i in range(16, len(data), 16):
-        blk = data[i:i + 16]
-        dec = _decrypt_block(blk, rks)
-        out.extend(bytes(a ^ b for a, b in zip(dec, prev)))
-        prev = blk
+    out = aes_cbc_decrypt_nopad(key, data[16:], data[:16])
     pad = out[-1] if out else 0
     if 1 <= pad <= 16:
         out = out[:-pad]
@@ -253,8 +317,10 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
 
 def aes_cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
     """Raw CBC over a 16-aligned buffer — Algorithm 2.B / UE / OE use
-    this (no IV prefix in the output, no padding). Runs entirely on the
-    32-bit word kernel: the 2.B loop pushes ~10^4 blocks per derivation."""
+    this (no IV prefix in the output, no padding)."""
+    got = _evp_crypt(key, data, iv, encrypt=True, cbc=True)
+    if got is not None:
+        return got
     rkw = _rkw(key)
     out = bytearray(len(data))
     p0, p1, p2, p3 = _W4.unpack(iv)
@@ -268,6 +334,9 @@ def aes_cbc_encrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
 
 
 def aes_cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
+    got = _evp_crypt(key, data, iv, encrypt=False, cbc=True)
+    if got is not None:
+        return got
     rks = _rks(key)
     out = bytearray()
     prev = iv
@@ -280,6 +349,9 @@ def aes_cbc_decrypt_nopad(key: bytes, data: bytes, iv: bytes) -> bytes:
 
 
 def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    got = _evp_crypt(key, data, None, encrypt=True, cbc=False)
+    if got is not None:
+        return got
     rkw = _rkw(key)
     out = bytearray(len(data))
     for i in range(0, len(data), 16):
@@ -289,6 +361,9 @@ def aes_ecb_encrypt(key: bytes, data: bytes) -> bytes:
 
 
 def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    got = _evp_crypt(key, data, None, encrypt=False, cbc=False)
+    if got is not None:
+        return got
     rks = _rks(key)
     return b"".join(_decrypt_block(data[i:i + 16], rks)
                     for i in range(0, len(data), 16))

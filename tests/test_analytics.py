@@ -1566,3 +1566,37 @@ def test_driver_cc_matches_distributed(spark):
     finally:
         slow.unpersist()
     assert got_fast == got_slow
+
+
+def test_quality_counts_udf_matches_exprs(spark):
+    """r6: the Arrow quality-counter kernel must equal the original
+    JVM expression forms (size(split), filter+array_contains,
+    length-after-regexp_replace with Java ASCII \\w\\s semantics) on
+    edge-case text."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.analytics import text as T
+    from pdf_parser_spark.analytics.dedup import tokens
+
+    rows = [(0, "the quick and lazy of to is fox"), (1, ""), (2, "  a  "),
+            (3, "punct!!! marks??? (everywhere); 100% -- yes."),
+            (4, "ünï codé — em-dash … ellipsis"),
+            (5, "中文，标点。 the of"), (6, "tabs\tand\nnewlines the"),
+            (7, "under_score digits123 mixed_99")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.stopword_hits, r.punct_chars,
+                      r.mean_token_len, r.quality_score)
+           for r in T.quality_features(docs).collect()}
+    # original expression forms, inline
+    toks = tokens(F.col("text"))
+    stop = F.array(*[F.lit(w) for w in T.LANG_MARKERS["en"]])
+    n_chars = F.length("text")
+    exp = docs.select(
+        "doc_id", F.size(toks).alias("nt"),
+        F.size(F.filter(toks,
+                        lambda t: F.array_contains(stop, t))).alias("sh"),
+        (n_chars - F.length(
+            F.regexp_replace("text", r"[^\w\s]", ""))).alias("pc"))
+    want = {r.doc_id: (r.nt, r.sh, r.pc) for r in exp.collect()}
+    for did, (nt, sh, pc, _, _) in got.items():
+        assert (nt, sh, pc) == want[did], (did, (nt, sh, pc), want[did])

@@ -971,3 +971,47 @@ def test_pages_node_resources_inheritance():
     f = parse_pdf(bytes(buf))
     text = " ".join(s.text for p in f.pages for s in p.spans)
     assert "café meal" in text
+
+
+def test_evp_matches_pure_python():
+    """r6: the OpenSSL EVP fast path must agree byte-for-byte with the
+    pure-Python AES tables on every entry point and key size (CBC/ECB,
+    encrypt/decrypt, plus a full Algorithm 2.B derivation)."""
+    import pytest
+
+    from pdf_parser_spark.pdf import crypto
+
+    if crypto._EVP is None:
+        pytest.skip("libcrypto unavailable in this environment")
+    evp = crypto._EVP
+    data = bytes(range(256)) * 3          # 768 bytes, 16-aligned
+    iv = bytes(range(100, 116))
+    try:
+        for klen in (16, 24, 32):
+            key = bytes(range(klen))
+            got = {
+                "ce": crypto.aes_cbc_encrypt_nopad(key, data, iv),
+                "ee": crypto.aes_ecb_encrypt(key, data),
+            }
+            got["cd"] = crypto.aes_cbc_decrypt_nopad(key, got["ce"], iv)
+            got["ed"] = crypto.aes_ecb_decrypt(key, got["ee"])
+            crypto._EVP = None            # force the pure-Python path
+            want = {
+                "ce": crypto.aes_cbc_encrypt_nopad(key, data, iv),
+                "ee": crypto.aes_ecb_encrypt(key, data),
+            }
+            want["cd"] = crypto.aes_cbc_decrypt_nopad(key, want["ce"], iv)
+            want["ed"] = crypto.aes_ecb_decrypt(key, want["ee"])
+            crypto._EVP = evp
+            assert got == want, klen
+            assert got["cd"] == data and got["ed"] == data
+        # Algorithm 2.B end-to-end (drives thousands of CBC blocks)
+        crypto._2B_CACHE.clear()
+        h_evp = crypto.hash_2b(b"pw", b"saltsalt", b"u" * 48)
+        crypto._EVP = None
+        crypto._2B_CACHE.clear()
+        h_py = crypto.hash_2b(b"pw", b"saltsalt", b"u" * 48)
+        assert h_evp == h_py
+    finally:
+        crypto._EVP = evp
+        crypto._2B_CACHE.clear()
