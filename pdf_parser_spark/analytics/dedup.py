@@ -438,24 +438,65 @@ def lsh_candidate_pairs(docs: DataFrame, text_col: str = "text",
     return result
 
 
+_SIMHASH_UDFS: dict = {}
+
+
+def _simhash_udf(bits: int):
+    """pandas UDF: text -> SimHash (same md5-60bit token hashes, same
+    per-bit signed vote over token OCCURRENCES, same sign->bit packing
+    as the former explode+groupBy form — exact integer math)."""
+    if bits in _SIMHASH_UDFS:
+        return _SIMHASH_UDFS[bits]
+    shifts = np.arange(bits, dtype=np.int64)
+
+    @F.pandas_udf("bigint")
+    def sh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict = {}
+        get = memo.get
+        for col in it:
+            if not len(col):
+                yield pd.Series([], dtype="int64")
+                continue
+            tok_lists = [_java_tokens(t) for t in col]
+            lens = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                               count=len(tok_lists))
+            from itertools import chain
+            total = int(lens.sum())
+            flat = np.fromiter(chain.from_iterable(tok_lists),
+                               dtype=object, count=total)
+            codes, uniq = pd.factorize(flat)
+            hv = np.empty(len(uniq), dtype=np.int64)
+            for k, tok in enumerate(uniq):
+                v = get(tok)
+                if v is None:
+                    if len(memo) > _MEMO_CAP:
+                        memo.clear()
+                    v = memo[tok] = (int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8],
+                        "big") >> 4)
+                hv[k] = v
+            th = hv[codes]
+            votes = (((th[:, None] >> shifts) & 1) * 2 - 1)
+            starts = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(votes, starts, axis=0)
+            sim = ((sums > 0).astype(np.int64)
+                   << shifts[None, :]).sum(axis=1)
+            yield pd.Series(sim)
+
+    _SIMHASH_UDFS[bits] = sh
+    return sh
+
+
 def simhash(docs: DataFrame, text_col: str = "text",
             bits: int = 16) -> DataFrame:
-    """16-bit SimHash over whitespace tokens, fully relational: explode
-    tokens, per-bit signed contributions, sign -> bit."""
-    toks = (docs.select("doc_id",
-                        F.explode(tokens(F.col(text_col))).alias("tok"))
-            .withColumn("h", _md5_int(F.col("tok"))))
-    aggs = [
-        F.sum(F.when((F.shiftright("h", i).bitwiseAND(F.lit(1))) == 1,
-                     1).otherwise(-1)).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    per_bit = toks.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return per_bit.select("doc_id", sim.cast("long").alias("simhash"))
+    """16-bit SimHash over whitespace tokens. r6: one vectorized Arrow
+    projection — the former explode + 16-way signed groupBy shuffled a
+    (doc_id, token-hash) row per token occurrence; this shuffles
+    NOTHING (scan -> projection), identical values."""
+    return (docs.where(F.col(text_col).isNotNull())
+            .select("doc_id",
+                    _simhash_udf(bits)(F.col(text_col)).alias("simhash")))
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -281,7 +281,7 @@ def embedding_near_duplicates(embeddings: DataFrame,
                               exact: bool = True,
                               nbits: int = 8,
                               dim: int | None = None,
-                              nblocks: int = 8) -> DataFrame:
+                              nblocks: int = 16) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine >=
     threshold after 6-dp rounding for cross-engine determinism).
 
@@ -293,7 +293,10 @@ def embedding_near_duplicates(embeddings: DataFrame,
     collect anywhere: group memory is ~2N/nblocks rows, so nblocks is
     the knob that keeps tiles executor-sized as the corpus grows (exact
     all-pairs is inherently N^2/P work; the tiling bounds memory and
-    spreads the work across nblocks*(nblocks+1)/2 tasks).
+    spreads the work across nblocks*(nblocks+1)/2 tasks). r6: default
+    raised 8 -> 16 — 136 tiles balance a 32-core wave far better than
+    36 (measured 2.9 s -> ~1.7 s at sf1.0; output is blocking-invariant,
+    locked by test_embedding_near_duplicates_blocking_invariant).
 
     ``exact=False``: sign-LSH bucketed candidates, exact rerank — the
     10^12-scale path when approximate recall is acceptable (pass

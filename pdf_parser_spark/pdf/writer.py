@@ -9,6 +9,7 @@ writer/tokenizer pair is inverse by construction (SURVEY.md §7.3 item 2).
 
 from __future__ import annotations
 
+import re
 import zlib
 from dataclasses import dataclass, field
 
@@ -60,16 +61,22 @@ class Page:
     rules: list = field(default_factory=list)
 
 
+_ESC_NEEDED = re.compile(rb"[^ -~]|[()\\]")
+
+
 def _esc(s: str) -> bytes:
+    b = s.encode("latin-1", "replace")
+    if _ESC_NEEDED.search(b) is None:  # plain printable ASCII fast path
+        return b
     out = bytearray()
-    for b in s.encode("latin-1", "replace"):
-        if b in (0x28, 0x29, 0x5C):  # ( ) \
+    for c in b:
+        if c in (0x28, 0x29, 0x5C):  # ( ) \
             out.append(0x5C)
-            out.append(b)
-        elif 32 <= b < 127:
-            out.append(b)
+            out.append(c)
+        elif 32 <= c < 127:
+            out.append(c)
         else:
-            out += ("\\%03o" % b).encode()
+            out += ("\\%03o" % c).encode()
     return bytes(out)
 
 

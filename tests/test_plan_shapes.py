@@ -36,15 +36,17 @@ def queries(spark):
                 "quality_features", "dedup_lsh_pairs", "tpch_q5",
                 "sample_corpus", "pack_chunks", "pii_features",
                 "boilerplate_ngrams", "bpe_token_counts", "lang_features",
-                "tpch_q3", "tpch_q6",
+                "tpch_q3", "tpch_q6", "dedup_simhash",
                 "quality_classifier", "span_dedup", "ppl_buckets",
                 "latest_crawl", "host_cap", "crawl_curation",
             }}
 
 
 def test_pure_projection_queries_have_zero_shuffles(queries):
+    # dedup_simhash joined the list in r6: the vectorized kernel
+    # replaced the per-token-occurrence explode + 16-way groupBy
     for name in ("text_stats", "quality_features", "repetition_features",
-                 "chunk_documents", "lang_features"):
+                 "chunk_documents", "lang_features", "dedup_simhash"):
         assert _shuffles(queries[name]) == 0, name
 
 
