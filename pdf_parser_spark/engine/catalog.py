@@ -196,6 +196,11 @@ def commit(df: DataFrame, table_dir: str, mode: str = "append") -> str:
             dst = f"{snap_id}-{name}"
             os.rename(os.path.join(staging, name),
                       os.path.join(data_dir, dst))
+            # stamp ARRIVAL time (r6, ADVICE): rename preserves the
+            # write-time mtime, so a slow write phase could land files
+            # already older than expire_snapshots' gc_grace window and
+            # get GC'd before their manifest publishes
+            os.utime(os.path.join(data_dir, dst))
             new_files.append(dst)
     # clean staging remnants (_SUCCESS etc.)
     for name in os.listdir(staging):
@@ -290,9 +295,19 @@ def _write_manifest(table_dir: str, seq: int, snap_id: str,
         stale = (not _glob.glob(os.path.join(sdir, f"{seq}-*.json"))
                  and _time.time() - os.path.getmtime(claim) > 60)
         if stale:
+            import uuid as _uuid
+
+            # Atomic reclaim (r6, ADVICE): remove+link had a TOCTOU —
+            # two reclaimers could interleave remove/link and both
+            # publish the same sequence. os.rename of the stale claim
+            # to a unique name succeeds for exactly ONE reclaimer (the
+            # loser's source is gone -> FileNotFoundError), then the
+            # winner re-runs the CAS link.
+            orphan = claim + "." + _uuid.uuid4().hex
             try:
-                os.remove(claim)
+                os.rename(claim, orphan)
                 os.link(tmp, claim)  # retry the CAS once
+                os.remove(orphan)
             except (FileNotFoundError, FileExistsError):
                 os.remove(tmp)  # lost the reclamation race too
                 raise CommitConflict(
@@ -458,6 +473,11 @@ def compact(spark: SparkSession, table_dir: str,
             dst = f"{snap_id}-{name}"
             os.rename(os.path.join(staging, name),
                       os.path.join(data_dir, dst))
+            # stamp ARRIVAL time (r6, ADVICE): rename preserves the
+            # write-time mtime, so a slow write phase could land files
+            # already older than expire_snapshots' gc_grace window and
+            # get GC'd before their manifest publishes
+            os.utime(os.path.join(data_dir, dst))
             new_files.append(dst)
     for name in os.listdir(staging):
         os.remove(os.path.join(staging, name))
@@ -532,7 +552,19 @@ def _classify_file(bounds: dict, f: str, column: str, op: str,
     value = _norm_bound_value(value, b.get("kind", ""))
     if value is None:
         return "rewrite"
-    no_nulls = nulls == 0
+    # Float/double bounds are UNTRUSTED for drop-whole (r6, ADVICE):
+    # parquet-mr can record max=NaN (or silently omit NaN) for a double
+    # column containing NaN rows; NaN never satisfies a comparison
+    # predicate, so classifying such a file 'drop' would silently
+    # delete non-matching rows. Iceberg guards this with
+    # nan_value_counts; without them, floats take the always-sound
+    # rewrite path (keep-whole stays safe: NaN rows never match, and
+    # NaN bounds make every comparison False -> 'rewrite').
+    if (b.get("kind", "") not in ("ts", "date")
+            and (isinstance(mn, float) or isinstance(mx, float))):
+        no_nulls = False
+    else:
+        no_nulls = nulls == 0
     all_, none = False, False
     if op == "=":
         all_ = no_nulls and mn == value and mx == value
@@ -597,6 +629,8 @@ def delete_where(spark: SparkSession, table_dir: str, column: str,
                 dst = f"{snap_id}-{name}"
                 os.rename(os.path.join(staging, name),
                           os.path.join(data_dir, dst))
+                # stamp arrival time (see commit(): gc_grace contract)
+                os.utime(os.path.join(data_dir, dst))
                 new_files.append(dst)
         for name in os.listdir(staging):
             os.remove(os.path.join(staging, name))

@@ -49,6 +49,13 @@ def get_spark(app_name: str = "pdf-parser-spark",
         # them for warc_ts partition-aligned file pruning)
         .config("spark.sql.parquet.outputTimestampType",
                 "TIMESTAMP_MICROS")
+        # UTC pin (r6, ADVICE): the catalog's bounds classification
+        # treats naive datetimes as UTC epoch micros (matching parquet
+        # footer stats), but Spark's rewrite filters interpret naive
+        # predicate values in the SESSION timezone — on a non-UTC host
+        # the two would disagree and a ts-predicate delete could
+        # drop/keep the wrong files. (No-op on this UTC host.)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

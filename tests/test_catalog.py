@@ -699,3 +699,34 @@ def test_expire_removes_expired_seq_claims(spark, tmp_path):
     names = set(os.listdir(sdir))
     assert ".seq-1" not in names and ".seq-2" not in names
     assert ".seq-3" in names
+
+
+def test_float_bounds_never_classify_drop_whole(spark, tmp_path):
+    """r6 (ADVICE): float/double bounds are untrusted for drop-whole —
+    a writer may omit NaN from min/max (or record NaN bounds) for a
+    column whose rows include NaN, and under Spark's NaN ordering a
+    ``<`` delete must keep NaN rows; dropping the whole file from
+    clean-looking real bounds would silently delete them. The
+    classifier sends floats down the rewrite path; ints still drop."""
+    import math
+
+    from pdf_parser_spark.engine import catalog
+
+    bounds = {"f": {"v": {"min": 1.0, "max": 50.0, "nulls": 0}}}
+    assert catalog._classify_file(bounds, "f", "v", "<", 100.0) \
+        == "rewrite"
+    assert catalog._classify_file(bounds, "f", "v", ">", 0.5) == "rewrite"
+    # keep-whole stays available (sound: NaN rows never match "<")
+    assert catalog._classify_file(bounds, "f", "v", "<", 0.5) == "keep"
+    ibounds = {"f": {"v": {"min": 1, "max": 50, "nulls": 0}}}
+    assert catalog._classify_file(ibounds, "f", "v", "<", 100) == "drop"
+
+    # e2e: NaN row survives a "<" delete that matches every real value
+    tdir = str(tmp_path / "ftbl")
+    rows = [(1, 10.5), (2, 20.5), (3, float("nan")), (4, 30.5)]
+    df = spark.createDataFrame(rows, "id long, v double").coalesce(1)
+    catalog.commit(df, tdir, "append")
+    snap, stats = catalog.delete_where(spark, tdir, "v", "<", 100.0)
+    assert stats["dropped"] == 0
+    got = catalog.read_snapshot(spark, tdir).collect()
+    assert [r.id for r in got] == [3] and math.isnan(got[0].v)
