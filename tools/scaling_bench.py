@@ -282,11 +282,10 @@ best proxies multi-node scaling is the lowest one that stays inside the
 bus's envelope: local[2]->local[8]. Higher pairs measure the single
 VM's bandwidth ceiling, not the framework — the no-Spark control
 degrades the same way ({hw_eff:.2f} at 8->32 procs with zero Spark
-involved), and the ceiling is visible as a fixed absolute throughput:
-local[16] has measured ~15.5k docs/s across rounds while the
-low-parallelism levels got faster each round (per-core engine
-improvements), which mechanically LOWERS high-pair ratios. All pairs
-are reported; none is hidden.
+involved). Per-core engine improvements raise the low-parallelism
+levels faster than the bandwidth-capped high levels, which mechanically
+LOWERS high-pair ratios across rounds even as absolute throughput rises
+at every level. All pairs are reported; none is hidden.
 
 Headline-pair history (auditability): round 1-2 gated on 4->16; round 3
 moved the gate to 2->8 for the bandwidth-envelope reason above, with
