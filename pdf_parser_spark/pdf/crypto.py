@@ -429,9 +429,18 @@ def compute_key(user_pw: bytes, o_entry: bytes, p: int, id0: bytes,
     return key[:key_bytes]
 
 
+_O_CACHE: dict[tuple, bytes] = {}
+
+
 def compute_o(owner_pw: bytes, user_pw: bytes, r: int,
               key_bytes: int) -> bytes:
-    """Algorithm 3: the /O entry (fixture-side)."""
+    """Algorithm 3: the /O entry (fixture-side). Memoized (r6): the
+    inputs are corpus-constant passwords, but the 19-round RC4 loop ran
+    per document on the writer side."""
+    ck = (owner_pw, user_pw, r, key_bytes)
+    got = _O_CACHE.get(ck)
+    if got is not None:
+        return got
     key = hashlib.md5(_pad_pw(owner_pw)).digest()
     if r >= 3:
         for _ in range(50):
@@ -441,6 +450,9 @@ def compute_o(owner_pw: bytes, user_pw: bytes, r: int,
     if r >= 3:
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in key), o)
+    if len(_O_CACHE) > 256:
+        _O_CACHE.clear()
+    _O_CACHE[ck] = o
     return o
 
 
@@ -467,10 +479,19 @@ def object_key(file_key: bytes, num: int, gen: int,
     return h.digest()[:min(len(file_key) + 5, 16)]
 
 
+_RECOVER_CACHE: dict[tuple, bytes] = {}
+
+
 def recover_user_pw(owner_pw: bytes, o_entry: bytes, r: int,
                     key_bytes: int) -> bytes:
     """Algorithm 7 (decryption half): RC4-decrypt /O with the
-    owner-password-derived key to recover the padded user password."""
+    owner-password-derived key to recover the padded user password.
+    Memoized (r6): /O is derived from corpus-constant passwords, so the
+    19-round undo loop repeats identically across documents."""
+    ck = (owner_pw, o_entry, r, key_bytes)
+    got = _RECOVER_CACHE.get(ck)
+    if got is not None:
+        return got
     key = hashlib.md5(_pad_pw(owner_pw)).digest()
     if r >= 3:
         for _ in range(50):
@@ -478,10 +499,15 @@ def recover_user_pw(owner_pw: bytes, o_entry: bytes, r: int,
     key = key[:key_bytes]
     data = o_entry[:32]
     if r == 2:
-        return rc4(key, data)
-    for i in range(19, -1, -1):  # undo the 19-round XOR-key loop
-        data = rc4(bytes(b ^ i for b in key), data)
-    return data
+        out = rc4(key, data)
+    else:
+        for i in range(19, -1, -1):  # undo the 19-round XOR-key loop
+            data = rc4(bytes(b ^ i for b in key), data)
+        out = data
+    if len(_RECOVER_CACHE) > 256:
+        _RECOVER_CACHE.clear()
+    _RECOVER_CACHE[ck] = out
+    return out
 
 
 def _cfm_cipher(enc: dict, which: str) -> str:
