@@ -355,17 +355,6 @@ def with_minhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return df.drop("_sm")
 
 
-def with_minhash_cols(sig: DataFrame,
-                      shingle_col: str = "shd") -> DataFrame:
-    """Adds mh0..mh{N-1} minhash columns over a distinct-shingle-hash
-    array column."""
-    for j in range(N_MINHASH):
-        a, b = perm_params(j)
-        sig = sig.withColumn(
-            f"mh{j}", F.array_min(F.transform(shingle_col, _perm(a, b))))
-    return sig
-
-
 def banded_keys(sig: DataFrame, *keep_cols: str,
                 bands: int = N_BANDS) -> DataFrame:
     """Explode a minhash-signature frame (mh0..mh{N-1}) into LSH
