@@ -518,19 +518,19 @@ def contamination(docs: DataFrame, text_col: str = "text",
                 ).alias("h"))
                 .distinct())
     # fail fast instead of OOMing the driver when the "benchmark" side
-    # is mis-shaped (it must stay broadcast-sized by construction);
-    # the guard is a distributed count — it must not itself collect
-    # 10M rows just to reject them
-    n_bench = bench_df.count()
-    if n_bench > MAX_BENCH_SHINGLES:
+    # is mis-shaped (it must stay broadcast-sized by construction).
+    # r6: ONE job — limit(cap+1).toPandas() bounds driver memory at the
+    # cap AND detects overflow (the old separate count() guard ran the
+    # whole benchmark-side shingle pass twice). Arrow collect:
+    # ~8 bytes/hash driver-side.
+    bench_pdf = bench_df.limit(MAX_BENCH_SHINGLES + 1).toPandas()
+    if len(bench_pdf) > MAX_BENCH_SHINGLES:
         raise ValueError(
-            f"contamination: benchmark shingle set has {n_bench} "
-            f"distinct hashes (> {MAX_BENCH_SHINGLES}) — this side must "
+            f"contamination: benchmark shingle set exceeds "
+            f"{MAX_BENCH_SHINGLES} distinct hashes — this side must "
             f"be benchmark-sized; shard the benchmark or use a bloom "
             f"filter")
-    # Arrow collect: ~8 bytes/hash driver-side (a .collect() of pyspark
-    # Row objects costs ~100x that and would defeat the cap's purpose)
-    bench = np.sort(bench_df.toPandas()["h"].to_numpy(dtype=np.int64))
+    bench = np.sort(bench_pdf["h"].to_numpy(dtype=np.int64))
 
     # BOTH counts come out of the UDF: every downstream column then
     # derives from the Python boundary, so a consumer's filter (e.g.
